@@ -1,0 +1,84 @@
+"""Label propagation — `algo.labelPropagation`.
+
+Reference: `algo/src/main/java/org/neo4j/graphalgo/LabelPropagationProc.java`,
+`algo/.../impl/labelprop/LabelPropagation.java`. Unseeded nodes start with
+label = own id; seeded nodes start from the ``seed`` column
+(`partitionProperty`). Each iteration a node adopts the label with the
+maximum total incident weight among its neighbors.
+
+The reference runs batch-parallel **semi-async** updates (intra-iteration
+order-dependent ⇒ nondeterministic on symmetric graphs). We run
+**synchronous** iterations with a deterministic tie-break (max weight,
+then min label) so results are reproducible across partition counts —
+fixtures are chosen where the two schedules agree (FIXTURES.md G_LPA).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from linkgraph.graph import Graph
+
+
+def label_propagation(
+    graph: Graph,
+    max_iterations: int = 10,
+    seed_col: str | None = None,
+    weighted: bool = True,
+    direction: str = "BOTH",
+    run_to_convergence: bool = True,
+) -> DataFrame:
+    """→ (id, label); stops early when no label changes (didConverge)."""
+    if direction == "BOTH":
+        edges = graph.undirected_edges()
+    else:
+        edges = graph.edges
+    edges = edges.filter(F.col("src") != F.col("dst")).persist()
+    nodes = graph.nodes
+
+    if seed_col is not None and seed_col in nodes.columns:
+        labels = nodes.select(
+            "id", F.coalesce(F.col(seed_col).cast("long"), F.col("id")).alias("label")
+        )
+    else:
+        labels = nodes.select("id", F.col("id").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+
+    w_expr = F.sum("weight") if weighted else F.count(F.lit(1)).cast("double")
+    win = Window.partitionBy("dst").orderBy(F.desc("w"), F.asc("label"))
+
+    for _ in range(max_iterations):
+        votes = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst", "label")
+            .agg(w_expr.alias("w"))
+        )
+        best = (
+            votes.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("dst").alias("id"), F.col("label").alias("new_label"))
+        )
+        # eager localCheckpoint: labels feeds both the vote join and the
+        # carry-over coalesce — without truncation the plan doubles per round
+        new_labels = (
+            labels.join(best, "id", "left")
+            .select("id", F.coalesce("new_label", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        if run_to_convergence:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+        else:
+            changed = 1
+        labels.unpersist()
+        labels = new_labels
+        if run_to_convergence and changed == 0:
+            break
+
+    edges.unpersist()
+    return labels

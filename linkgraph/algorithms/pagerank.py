@@ -1,0 +1,288 @@
+"""PageRank family — `algo.pageRank`, `algo.articleRank`, `algo.eigenvector`.
+
+Reference: `algo/src/main/java/org/neo4j/graphalgo/PageRankProc.java` and
+`algo/.../impl/pagerank/{PageRank,ComputeSteps,BaseComputeStep,
+WeightedComputeStep,DegreeComputer}.java`. Semantics preserved exactly
+(SURVEY.md §2.8): **unnormalized** PageRank
+
+    p(v) = (1 − d) · t(v) + d · Σ_{u→v} p(u) · w(u,v) / W(u)
+
+with t ≡ 1 (or the indicator of ``source_nodes`` for personalized PR),
+no dangling-mass redistribution, no 1/N normalization — hub scores ≫ 1.
+Early exit on ``tolerance`` (max |Δ| across nodes), as in 3.5.x.
+
+Execution re-imagined for Spark instead of the reference's shared-memory
+BSP float[] buffers:
+
+* ``strategy='csr'`` (default): per-partition CSR blocks inside Arrow UDFs
+  (blocks.py) — scatter is one numpy bincount per block (map-side combine),
+  gather is ``groupBy(dst).agg(sum)``; at most B partial rows per target
+  regardless of in-degree, so hot nodes cannot skew the shuffle.
+* ``strategy='join'``: pure DataFrame — ranks ⋈ edges → salted two-stage
+  ``groupBy(dst).agg(sum)``; Catalyst/AQE pick the join; ``salt`` > 0
+  spreads hot targets across salt buckets before the final combine.
+
+Per-superstep checkpoints (io.CheckpointManager) give resumability +
+lineage truncation; metrics mirror the reference's stats row
+(loadMillis/computeMillis/iterations/didConverge).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from linkgraph.algorithms import blocks
+from linkgraph.graph import Graph
+from linkgraph.io import CheckpointManager
+
+
+@dataclass
+class RunMetrics:
+    iterations: int = 0
+    did_converge: bool = False
+    compute_millis: int = 0
+    superstep_millis: list[int] = field(default_factory=list)
+    deltas: list[float] = field(default_factory=list)
+    resumed_from: int | None = None
+
+
+class PageRank:
+    def __init__(
+        self,
+        damping: float = 0.85,
+        max_iterations: int = 20,
+        tolerance: float | None = None,
+        weighted: bool = False,
+        source_nodes: list[int] | None = None,
+        strategy: str = "csr",
+        num_blocks: int | None = None,
+        salt: int = 0,
+        checkpoint: CheckpointManager | None = None,
+        checkpoint_every: int = 0,
+    ):
+        self.damping = damping
+        self.max_iterations = max_iterations
+        self.tolerance = tolerance
+        self.weighted = weighted
+        self.source_nodes = source_nodes
+        self.strategy = strategy
+        self.num_blocks = num_blocks
+        self.salt = salt
+        self.checkpoint = checkpoint
+        self.checkpoint_every = checkpoint_every
+        self.metrics = RunMetrics()
+
+    # ------------------------------------------------------------------ setup
+    def _teleport(self, nodes: DataFrame) -> DataFrame:
+        if self.source_nodes is None:
+            return nodes.select("id", F.lit(1.0).alias("t"))
+        srcs = [int(s) for s in self.source_nodes]
+        return nodes.select(
+            "id", F.when(F.col("id").isin(srcs), 1.0).otherwise(0.0).alias("t")
+        )
+
+    def _denominator(self, edges: DataFrame) -> DataFrame:
+        """W(u): out-degree (unweighted) or total out-weight (weighted)."""
+        agg = F.sum("weight") if self.weighted else F.count(F.lit(1)).cast("double")
+        return edges.groupBy(F.col("src").alias("id")).agg(agg.alias("wsum"))
+
+    # ------------------------------------------------------------ superstep
+    def _contribs_join(self, edges: DataFrame, ranks: DataFrame, denom: DataFrame) -> DataFrame:
+        share = ranks.join(denom, "id").select(
+            "id", (F.col("rank") / F.col("wsum")).alias("share")
+        )
+        per_edge = edges.join(share, edges.src == share.id).select(
+            F.col("dst"),
+            (F.col("share") * F.col("weight")).alias("c")
+            if self.weighted
+            else F.col("share").alias("c"),
+            F.col("src"),
+        )
+        if self.salt > 0:
+            # two-stage salted combine: hot dst spread over `salt` buckets
+            stage1 = per_edge.groupBy(
+                "dst", F.pmod(F.xxhash64("src"), F.lit(self.salt)).alias("_salt")
+            ).agg(F.sum("c").alias("c"))
+            return stage1.groupBy("dst").agg(F.sum("c").alias("contrib"))
+        return per_edge.groupBy("dst").agg(F.sum("c").alias("contrib"))
+
+    # -------------------------------------------------------------------- run
+    def run(self, graph: Graph) -> DataFrame:
+        t0 = time.time()
+        d = self.damping
+        nodes = self._teleport(graph.nodes).persist()
+        edges = graph.edges
+        start_step = 0
+
+        denom = edge_blocks = None
+        b = self.num_blocks or edges.sparkSession.sparkContext.defaultParallelism
+        if self.strategy == "csr":
+            edge_blocks = blocks.build_edge_blocks(
+                edges if self.weighted else edges.withColumn("weight", F.lit(1.0)), b
+            ).persist()
+            edge_blocks.count()  # materialize once; reused every superstep
+        else:
+            denom = self._denominator(edges).persist()
+
+        ranks = nodes.select("id", F.col("t").alias("rank"))
+        if self.checkpoint is not None:
+            latest = self.checkpoint.latest()
+            if latest is not None:
+                start_step, ranks, m = latest
+                self.metrics.resumed_from = start_step
+        ranks = ranks.localCheckpoint(eager=True)
+
+        converged = False
+        step = start_step
+        while step < self.max_iterations:
+            it0 = time.time()
+            if self.strategy == "csr":
+                rank_blocks = blocks.pack_rank_blocks(ranks, "rank", b)
+                contribs = blocks.scatter_gather(edge_blocks, rank_blocks, True)
+            else:
+                contribs = self._contribs_join(edges, ranks, denom)
+            # eager localCheckpoint = superstep barrier + lineage truncation
+            # (the reference's BSP sync point; durable resume = CheckpointManager)
+            new_ranks = (
+                nodes.join(contribs, nodes.id == contribs.dst, "left")
+                .select(
+                    "id",
+                    (
+                        (1.0 - d) * F.col("t")
+                        + d * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            step += 1
+            delta = None
+            if self.tolerance is not None:
+                delta = (
+                    new_ranks.alias("n")
+                    .join(ranks.alias("o"), "id")
+                    .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("m"))
+                    .first()["m"]
+                ) or 0.0
+                self.metrics.deltas.append(float(delta))
+            if self.checkpoint is not None and (
+                self.checkpoint_every and step % self.checkpoint_every == 0
+            ):
+                new_ranks = self.checkpoint.write(
+                    new_ranks, step, {"delta": delta, "iteration": step}
+                )
+            ranks.unpersist()
+            ranks = new_ranks
+            self.metrics.superstep_millis.append(int((time.time() - it0) * 1000))
+            if self.tolerance is not None and delta is not None and delta < self.tolerance:
+                converged = True
+                break
+
+        self.metrics.iterations = step
+        self.metrics.did_converge = converged
+        self.metrics.compute_millis = int((time.time() - t0) * 1000)
+        if edge_blocks is not None:
+            edge_blocks.unpersist()
+        if denom is not None:
+            denom.unpersist()
+        nodes.unpersist()
+        return ranks
+
+
+def pagerank(graph: Graph, **kwargs) -> DataFrame:
+    """Functional form: ``pagerank(g, damping=0.85, ...)`` → (id, rank)."""
+    return PageRank(**kwargs).run(graph)
+
+
+def article_rank(
+    graph: Graph,
+    damping: float = 0.85,
+    max_iterations: int = 20,
+    tolerance: float | None = None,
+) -> DataFrame:
+    """`algo.articleRank` — PR variant with denominator outdeg(u) + avg_outdeg.
+
+    Reference: `algo/.../ArticleRankProc.java` (variant compute step in
+    impl/pagerank/). Contribution = p(u) / (outdeg(u) + mean outdeg).
+    """
+    edges, nodes = graph.edges, graph.nodes.select("id")
+    outdeg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("double").alias("deg")
+    )
+    # average out-degree over nodes WITH out-edges (reference semantics)
+    avg_deg = outdeg.agg(F.avg("deg")).first()[0] or 0.0
+    ranks = nodes.select("id", F.lit(1.0).alias("rank"))
+    converged = False
+    for _ in range(max_iterations):
+        share = ranks.join(outdeg, "id").select(
+            "id", (F.col("rank") / (F.col("deg") + F.lit(avg_deg))).alias("share")
+        )
+        contribs = (
+            edges.join(share, edges.src == share.id)
+            .groupBy("dst")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        new_ranks = (
+            nodes.join(contribs, nodes.id == contribs.dst, "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping)
+                    + damping * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if tolerance is not None:
+            delta = (
+                new_ranks.alias("n")
+                .join(ranks.alias("o"), "id")
+                .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))))
+                .first()[0]
+            ) or 0.0
+            ranks = new_ranks
+            if delta < tolerance:
+                converged = True
+                break
+        else:
+            ranks = new_ranks
+    return ranks
+
+
+def eigenvector_centrality(
+    graph: Graph,
+    max_iterations: int = 20,
+    normalization: str = "none",
+) -> DataFrame:
+    """`algo.eigenvector` — power iteration, no damping, optional norm.
+
+    Reference: `algo/.../EigenvectorCentralityProc.java`; per-step L2
+    stabilization, final `normalization: none|max|l1norm|l2norm`.
+    """
+    edges, nodes = graph.edges, graph.nodes.select("id")
+    ranks = nodes.select("id", F.lit(1.0).alias("rank"))
+    for _ in range(max_iterations):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.id)
+            .groupBy("dst")
+            .agg(F.sum("rank").alias("contrib"))
+        )
+        new_ranks = nodes.join(contribs, nodes.id == contribs.dst, "left").select(
+            "id", F.coalesce(F.col("contrib"), F.lit(0.0)).alias("rank")
+        )
+        new_ranks = new_ranks.localCheckpoint(eager=True)
+        norm = new_ranks.agg(F.sqrt(F.sum(F.col("rank") * F.col("rank")))).first()[0] or 1.0
+        if norm == 0.0:
+            norm = 1.0
+        ranks = new_ranks.select("id", (F.col("rank") / F.lit(norm)).alias("rank"))
+    if normalization == "max":
+        mx = ranks.agg(F.max("rank")).first()[0] or 1.0
+        ranks = ranks.select("id", (F.col("rank") / F.lit(mx or 1.0)).alias("rank"))
+    elif normalization == "l1norm":
+        s = ranks.agg(F.sum("rank")).first()[0] or 1.0
+        ranks = ranks.select("id", (F.col("rank") / F.lit(s or 1.0)).alias("rank"))
+    elif normalization == "l2norm":
+        pass  # already L2-stabilized each step
+    return ranks
