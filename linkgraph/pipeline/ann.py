@@ -1,0 +1,135 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — JVM-side `zip_with`/`aggregate`
+arithmetic (whole-stage codegen, no Python), window top-k. Ranking is on
+the ROUNDED cosine (+ id tie-break) so results are reproducible across
+engines and float summation orders.
+
+Scale path: IVF-style coarse quantization — assign every vector to its
+nearest of C centroids (broadcast), then only join query×candidate within
+the same (or nprobe nearest) cells. The shuffle becomes an equi-join on
+cell id instead of a cross-join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _dot(va: str, vb: str):
+    return F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(v: str):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v_: acc + v_,
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, cosine): top-k corpus neighbors per query vector, exact."""
+    a = queries.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("a") != F.col("b"))
+    scored = pairs.select(
+        "a", "b", F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), 4).alias("cosine")
+    )
+    win = Window.partitionBy("a").orderBy(F.desc("cosine"), F.asc("b"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .select("a", "b", "cosine")
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    num_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float = 1.0,
+    iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Mini k-means on a driver-collected sample → (C, dim) centroids.
+
+    The sample is bounded; the assignment/search stays distributed.
+    """
+    sample = corpus.select(vec_col)
+    if sample_fraction < 1.0:
+        sample = sample.sample(sample_fraction, seed=seed)
+    x = np.array(sample.toPandas()[vec_col].tolist(), dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(num_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_assign(
+    df: DataFrame, centroids: np.ndarray, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, embedding, cell) — nearest-centroid assignment, Arrow-vectorized."""
+    cent = centroids.astype(np.float64)
+
+    @pandas_udf("int")
+    def assign_udf(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series((x @ cent.T).argmax(axis=1).astype(np.int32))
+
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), assign_udf(F.col(vec_col)).alias("cell")
+    )
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: equi-join on cell id, exact cosine within cell."""
+    qa = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col("id").alias("a"), F.col("v").alias("va"), "cell"
+    )
+    cb = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col("id").alias("b"), F.col("v").alias("vb"), "cell"
+    )
+    pairs = qa.join(cb, "cell").filter(F.col("a") != F.col("b"))
+    scored = pairs.select(
+        "a", "b", F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), 4).alias("cosine")
+    )
+    win = Window.partitionBy("a").orderBy(F.desc("cosine"), F.asc("b"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .select("a", "b", "cosine")
+    )

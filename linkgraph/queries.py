@@ -1,0 +1,519 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle SQL.
+
+Every query here exists twice: a Spark callable (spark, sf_dir) → DataFrame
+running through the engine, and an ANSI-SQL string DuckDB runs on the same
+parquet views. Column names/types and float rounding are aligned so the
+driver's order-insensitive value-hash matches.
+
+The document graph is derived from the `documents` table with deterministic
+integer arithmetic over (doc_id, n_chars, #occurrences of 'spark' in text) —
+content-dependent, yet expressible identically in both engines. Iterative
+oracles (PageRank / WCC / LPA) are UNROLLED into generated CTE chains —
+DuckDB recursive CTEs can't aggregate over the recursive term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from linkgraph.graph import Graph
+
+DAMPING = 0.85
+PR_ITERS = 20
+WCC_ROUNDS = 16
+LPA_ROUNDS = 8
+
+
+# --------------------------------------------------------------------- edges
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic doc→doc link table (directed, ~4 out-edges per doc)."""
+    docs = load_documents(spark, sf_dir)
+    n = docs.count()
+    ns5 = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), "spark", ""))
+    ).cast("long")
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        ns5.alias("ns5"),
+    )
+    mod = F.lit(int(n)).cast("long")
+    dsts = [
+        (37 * F.col("doc_id") + F.col("n_chars")) % mod,
+        (61 * F.col("doc_id") + 3 * F.col("ns5") + 7) % mod,
+        (101 * F.col("doc_id") + 13 * F.col("n_chars") + 1) % mod,
+        (17 * F.col("doc_id") + 29 * F.col("ns5") + 11 * F.col("n_chars")) % mod,
+    ]
+    parts = [
+        base.select(F.col("doc_id").alias("src"), d.cast("long").alias("dst")) for d in dsts
+    ]
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.unionByName(p)
+    return e.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def doc_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    docs = load_documents(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("id"))
+    return Graph.from_edges(doc_edges(spark, sf_dir), nodes=nodes)
+
+
+# DuckDB prolog: the same edge table in SQL. `nn` is a scalar subquery so the
+# one SQL string works at every scale factor.
+_PROLOG = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+base AS MATERIALIZED (
+  SELECT doc_id, n_chars,
+         (length(text) - length(replace(text, 'spark', ''))) AS ns5
+  FROM documents
+),
+raw AS (
+  SELECT doc_id AS src, (37*doc_id + n_chars) % (SELECT n FROM nn) AS dst FROM base
+  UNION
+  SELECT doc_id, (61*doc_id + 3*ns5 + 7) % (SELECT n FROM nn) FROM base
+  UNION
+  SELECT doc_id, (101*doc_id + 13*n_chars + 1) % (SELECT n FROM nn) FROM base
+  UNION
+  SELECT doc_id, (17*doc_id + 29*ns5 + 11*n_chars) % (SELECT n FROM nn) FROM base
+),
+edges AS MATERIALIZED (SELECT src, dst FROM raw WHERE src <> dst),
+ue AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+ce AS MATERIALIZED (SELECT DISTINCT LEAST(src,dst) AS a, GREATEST(src,dst) AS b FROM edges),
+nodes AS (SELECT doc_id AS id FROM documents)
+"""
+
+_D = "CAST(0.85 AS DOUBLE)"
+_ONE_MINUS_D = "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
+
+
+# ------------------------------------------------------------------ pagerank
+def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.pagerank import PageRank
+
+    g = doc_graph(spark, sf_dir)
+    ranks = PageRank(damping=DAMPING, max_iterations=PR_ITERS, strategy="csr").run(g)
+    return ranks.select("id", F.round("rank", 5).alias("rank"))
+
+
+def sql_doc_pagerank() -> str:
+    parts = [_PROLOG]
+    parts.append(", outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS wsum FROM edges GROUP BY src)")
+    parts.append(", r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes)")
+    for k in range(1, PR_ITERS + 1):
+        parts.append(
+            f""", r{k} AS MATERIALIZED (
+  SELECT n.id, {_ONE_MINUS_D} + {_D} * COALESCE(c.s, CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank / o.wsum) AS s
+    FROM edges e JOIN r{k - 1} r ON e.src = r.id JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) c ON n.id = c.id)"""
+        )
+    parts.append(f"SELECT id, ROUND(rank, 5) AS rank FROM r{PR_ITERS}")
+    return "\n".join(parts)
+
+
+# ----------------------------------------------------------------------- wcc
+def q_doc_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.wcc import wcc
+
+    return wcc(doc_graph(spark, sf_dir)).select("id", "component")
+
+
+def sql_doc_wcc(final: str = "SELECT id, comp AS component FROM l{last}") -> str:
+    parts = [_PROLOG]
+    parts.append(", l0 AS (SELECT doc_id AS id, doc_id AS comp FROM documents)")
+    for k in range(1, WCC_ROUNDS + 1):
+        parts.append(
+            f""", m{k} AS MATERIALIZED (
+  SELECT l.id, LEAST(l.comp, COALESCE(nm.nmin, l.comp)) AS comp
+  FROM l{k - 1} l LEFT JOIN (
+    SELECT u.dst AS id, MIN(p.comp) AS nmin FROM ue u JOIN l{k - 1} p ON u.src = p.id GROUP BY u.dst
+  ) nm ON l.id = nm.id)
+, l{k} AS MATERIALIZED (
+  SELECT m.id, COALESCE(p2.comp, m.comp) AS comp
+  FROM m{k} m LEFT JOIN m{k} p2 ON m.comp = p2.id)"""
+        )
+    parts.append(final.format(last=WCC_ROUNDS))
+    return "\n".join(parts)
+
+
+def q_doc_wcc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = q_doc_wcc(spark, sf_dir)
+    return comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+
+
+def sql_doc_wcc_sizes() -> str:
+    return sql_doc_wcc(
+        "SELECT comp AS component, COUNT(*) AS size FROM l{last} GROUP BY comp"
+    )
+
+
+# ----------------------------------------------------------------------- lpa
+def q_doc_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.lpa import label_propagation
+
+    g = doc_graph(spark, sf_dir)
+    return label_propagation(g, max_iterations=LPA_ROUNDS, weighted=False).select(
+        "id", "label"
+    )
+
+
+def sql_doc_lpa() -> str:
+    parts = [_PROLOG]
+    parts.append(", s0 AS (SELECT doc_id AS id, doc_id AS label FROM documents)")
+    for k in range(1, LPA_ROUNDS + 1):
+        parts.append(
+            f""", s{k} AS MATERIALIZED (
+  SELECT l.id, COALESCE(v.new_label, l.label) AS label
+  FROM s{k - 1} l LEFT JOIN (
+    SELECT id, new_label FROM (
+      SELECT u.dst AS id, p.label AS new_label,
+             ROW_NUMBER() OVER (PARTITION BY u.dst ORDER BY COUNT(*) DESC, p.label ASC) AS rn
+      FROM ue u JOIN s{k - 1} p ON u.src = p.id
+      GROUP BY u.dst, p.label
+    ) t WHERE rn = 1
+  ) v ON l.id = v.id)"""
+        )
+    parts.append(f"SELECT id, label FROM s{LPA_ROUNDS}")
+    return "\n".join(parts)
+
+
+# ------------------------------------------------------------------ triangles
+def q_doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.triangles import triangle_count
+
+    out = triangle_count(doc_graph(spark, sf_dir))
+    return out.select("id", "triangles", F.round("coefficient", 5).alias("coefficient"))
+
+
+_TRI_CTES = """
+, tri AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ce e1 JOIN ce e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN ce e3 ON e3.a = e1.b AND e3.b = e2.b)
+, corners AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+, tcnt AS (SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id)
+, cdeg AS (SELECT id, COUNT(*) AS deg
+           FROM (SELECT a AS id FROM ce UNION ALL SELECT b FROM ce) dd GROUP BY id)
+, pernode AS (
+  SELECT n.id,
+         COALESCE(t.triangles, 0) AS triangles,
+         CASE WHEN COALESCE(d.deg, 0) >= 2
+              THEN CAST(2.0 AS DOUBLE) * COALESCE(t.triangles, 0) / (d.deg * (d.deg - 1))
+              ELSE CAST(0.0 AS DOUBLE) END AS coefficient
+  FROM nodes n LEFT JOIN tcnt t ON n.id = t.id LEFT JOIN cdeg d ON n.id = d.id)
+"""
+
+
+def sql_doc_triangles() -> str:
+    return (
+        _PROLOG
+        + _TRI_CTES
+        + "SELECT id, triangles, ROUND(coefficient, 5) AS coefficient FROM pernode"
+    )
+
+
+def q_doc_triangle_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.triangles import triangle_count
+
+    per = triangle_count(doc_graph(spark, sf_dir))
+    return per.agg(
+        (F.sum("triangles") / 3).cast("long").alias("triangle_count"),
+        F.round(F.avg("coefficient"), 5).alias("avg_coefficient"),
+    )
+
+
+def sql_doc_triangle_global() -> str:
+    return (
+        _PROLOG
+        + _TRI_CTES
+        + """SELECT CAST(SUM(triangles) / 3 AS BIGINT) AS triangle_count,
+       ROUND(AVG(coefficient), 5) AS avg_coefficient
+FROM pernode"""
+    )
+
+
+# -------------------------------------------------------------------- degree
+def q_doc_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = doc_graph(spark, sf_dir)
+    out_d = g.degrees(direction="OUTGOING").select(
+        "id", F.col("degree").cast("long").alias("out_degree")
+    )
+    in_d = g.degrees(direction="INCOMING").select(
+        "id", F.col("degree").cast("long").alias("in_degree")
+    )
+    return out_d.join(in_d, "id")
+
+
+def sql_doc_degree() -> str:
+    return (
+        _PROLOG
+        + """SELECT n.id, COALESCE(o.c, 0) AS out_degree, COALESCE(i.c, 0) AS in_degree
+FROM nodes n
+LEFT JOIN (SELECT src, COUNT(*) AS c FROM edges GROUP BY src) o ON n.id = o.src
+LEFT JOIN (SELECT dst, COUNT(*) AS c FROM edges GROUP BY dst) i ON n.id = i.dst"""
+    )
+
+
+# --------------------------------------------------------------- linkpred
+def q_doc_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.functions.linkprediction import link_prediction_scores
+
+    g = doc_graph(spark, sf_dir)
+    pairs = g.edges.select("src", "dst")
+    return link_prediction_scores(g, pairs)
+
+
+def sql_doc_linkpred() -> str:
+    return (
+        _PROLOG
+        + """, deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS d FROM ue GROUP BY src)
+, cn AS MATERIALIZED (
+  SELECT e.src, e.dst, COUNT(*) AS c,
+         ROUND(SUM(CAST(1.0 AS DOUBLE) / LN(zd.d)), 5) AS aa,
+         ROUND(SUM(CAST(1.0 AS DOUBLE) / zd.d), 5) AS ra
+  FROM edges e
+  JOIN ue n1 ON n1.src = e.src
+  JOIN ue n2 ON n2.src = e.dst AND n2.dst = n1.dst
+  JOIN deg zd ON zd.id = n1.dst
+  GROUP BY e.src, e.dst)
+SELECT e.src, e.dst,
+       COALESCE(cn.c, 0) AS common_neighbors,
+       (ds.d + dd.d - COALESCE(cn.c, 0)) AS total_neighbors,
+       COALESCE(cn.aa, CAST(0.0 AS DOUBLE)) AS adamic_adar,
+       COALESCE(cn.ra, CAST(0.0 AS DOUBLE)) AS resource_allocation,
+       ds.d * dd.d AS preferential_attachment
+FROM edges e
+JOIN deg ds ON ds.id = e.src
+JOIN deg dd ON dd.id = e.dst
+LEFT JOIN cn ON cn.src = e.src AND cn.dst = e.dst"""
+    )
+
+
+# --------------------------------------------------------- jaccard over events
+def q_user_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.similarity import jaccard
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return jaccard(events, "user_id", "event_type", top_k=3).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        "similarity",
+    )
+
+
+def sql_user_jaccard_topk() -> str:
+    return """
+WITH cats AS MATERIALIZED (SELECT DISTINCT user_id, event_type FROM events),
+deg AS MATERIALIZED (SELECT user_id, COUNT(*) AS d FROM cats GROUP BY user_id),
+inter AS (
+  SELECT x.user_id AS a, y.user_id AS b, COUNT(*) AS i
+  FROM cats x JOIN cats y ON x.event_type = y.event_type AND x.user_id <> y.user_id
+  GROUP BY x.user_id, y.user_id),
+scored AS (
+  SELECT i.a, i.b,
+         CAST(i.i AS DOUBLE) / (da.d + db.d - i.i) AS similarity,
+         ROW_NUMBER() OVER (PARTITION BY i.a
+                            ORDER BY CAST(i.i AS DOUBLE) / (da.d + db.d - i.i) DESC, i.b ASC) AS rn
+  FROM inter i JOIN deg da ON da.user_id = i.a JOIN deg db ON db.user_id = i.b)
+SELECT a, b, ROUND(similarity, 5) AS similarity FROM scored WHERE rn <= 3"""
+
+
+# ------------------------------------------------------------- pipeline ops
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.pipeline.dedup import exact_duplicates
+
+    return exact_duplicates(load_documents(spark, sf_dir))
+
+
+def sql_dedup_exact() -> str:
+    return """
+SELECT md5(text) AS text_hash, COUNT(*) AS cnt, MIN(doc_id) AS rep_id
+FROM documents GROUP BY md5(text)"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.pipeline.text import token_stats
+
+    return token_stats(load_documents(spark, sf_dir))
+
+
+def sql_token_stats() -> str:
+    return """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens
+FROM documents"""
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.pipeline.text import quality_scores
+
+    return quality_scores(load_documents(spark, sf_dir))
+
+
+def sql_quality() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a'))) AS BIGINT) AS stop_cnt,
+         CAST(length(text) AS BIGINT) AS text_len
+  FROM documents)
+SELECT doc_id, n_tokens,
+       ROUND(CAST(stop_cnt AS DOUBLE) / n_tokens, 5) AS stop_ratio,
+       ROUND(CAST(text_len - (n_tokens - 1) AS DOUBLE) / n_tokens, 5) AS avg_token_len
+FROM t"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.pipeline.text import language_id
+
+    return language_id(load_documents(spark, sf_dir))
+
+
+def sql_langid() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a'))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS r
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN r >= 0.09 THEN 'en_high' WHEN r >= 0.05 THEN 'en_med' ELSE 'en_low' END AS pred_lang
+FROM t"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.pipeline.text import fingerprint
+
+    return fingerprint(load_documents(spark, sf_dir))
+
+
+def sql_fingerprint() -> str:
+    return "SELECT doc_id, substr(md5(text), 1, 16) AS fp16 FROM documents"
+
+
+def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.pipeline.dedup import token_jaccard_pairs
+
+    return token_jaccard_pairs(load_documents(spark, sf_dir), threshold=0.8)
+
+
+def sql_near_dup_jaccard() -> str:
+    return """
+WITH dtok AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u),
+dcnt AS MATERIALIZED (SELECT doc_id, COUNT(*) AS c FROM dtok GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+  FROM dtok x JOIN dtok y ON x.tok = y.tok AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id),
+sim AS (
+  SELECT i.a, i.b, ROUND(CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i), 5) AS jaccard
+  FROM inter i JOIN dcnt ca ON ca.doc_id = i.a JOIN dcnt cb ON cb.doc_id = i.b)
+SELECT a, b, jaccard FROM sim WHERE jaccard >= 0.8"""
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.pipeline.ann import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_bruteforce(
+        emb.filter(F.col("vec_id") < 100), emb, k=5
+    )
+
+
+def sql_emb_cosine_topk() -> str:
+    return """
+WITH v AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         ROUND(list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
+  FROM v a JOIN v b ON a.vec_id < 100 AND a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT a, b, cosine,
+         ROW_NUMBER() OVER (PARTITION BY a ORDER BY cosine DESC, b ASC) AS rn
+  FROM pairs)
+SELECT a, b, cosine FROM ranked WHERE rn <= 5"""
+
+
+# ------------------------------------------------------------ rows-only ops
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.pipeline.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(load_documents(spark, sf_dir))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.pipeline.dedup import simhash64
+
+    return simhash64(load_documents(spark, sf_dir))
+
+
+def q_emb_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.pipeline.ann import cosine_topk_ivf, train_ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = train_ivf_centroids(emb, num_cells=8)
+    return cosine_topk_ivf(emb.filter(F.col("vec_id") < 100), emb, cent, k=5)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.pipeline.multimodal import extract_features, synthesize_media
+
+    return extract_features(synthesize_media(spark, n=64))
+
+
+QUERIES = {
+    "doc_pagerank": q_doc_pagerank,
+    "doc_wcc": q_doc_wcc,
+    "doc_wcc_sizes": q_doc_wcc_sizes,
+    "doc_lpa": q_doc_lpa,
+    "doc_triangles": q_doc_triangles,
+    "doc_triangle_global": q_doc_triangle_global,
+    "doc_degree": q_doc_degree,
+    "doc_linkpred": q_doc_linkpred,
+    "user_jaccard_topk": q_user_jaccard_topk,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality,
+    "language_id": q_langid,
+    "fingerprint": q_fingerprint,
+    "near_dup_jaccard": q_near_dup_jaccard,
+    "emb_cosine_topk": q_emb_cosine_topk,
+    # rows-only (no SQL-expressible oracle: hashing/UDF/iterative-internal)
+    "minhash_lsh_candidates": q_minhash_lsh,
+    "simhash": q_simhash,
+    "emb_cosine_ivf": q_emb_cosine_ivf,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES = {
+    "doc_pagerank": sql_doc_pagerank(),
+    "doc_wcc": sql_doc_wcc(),
+    "doc_wcc_sizes": sql_doc_wcc_sizes(),
+    "doc_lpa": sql_doc_lpa(),
+    "doc_triangles": sql_doc_triangles(),
+    "doc_triangle_global": sql_doc_triangle_global(),
+    "doc_degree": sql_doc_degree(),
+    "doc_linkpred": sql_doc_linkpred(),
+    "user_jaccard_topk": sql_user_jaccard_topk(),
+    "dedup_exact": sql_dedup_exact(),
+    "token_stats": sql_token_stats(),
+    "quality_scores": sql_quality(),
+    "language_id": sql_langid(),
+    "fingerprint": sql_fingerprint(),
+    "near_dup_jaccard": sql_near_dup_jaccard(),
+    "emb_cosine_topk": sql_emb_cosine_topk(),
+}
