@@ -1,0 +1,112 @@
+"""Per-round benchmark. Prints ONE JSON line:
+
+  {"metric": "...", "value": <edges/sec>, "unit": "...", "queries": {...}, "sf": ...}
+
+Headline metric: PageRank CSR-scatter throughput (edges traversed / sec of
+superstep loop) on the deterministic power-law graph (skewed in-degree),
+plus per-query wall times of the SURVEY.md §2 operators at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Env knobs: SPARK_GRAFT_CPUS (default 32), LINKGRAPH_BENCH_NODES (default
+2^18), LINKGRAPH_BENCH_SUPERSTEPS (default 10).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_nodes = int(os.environ.get("LINKGRAPH_BENCH_NODES", str(1 << 18)))
+    supersteps = int(os.environ.get("LINKGRAPH_BENCH_SUPERSTEPS", "10"))
+
+    from linkgraph.session import get_spark
+
+    spark = get_spark(
+        app_name="linkgraph-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from linkgraph import queries as Q
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        return n
+
+    timed("doc_pagerank", Q.q_doc_pagerank)
+    timed("doc_wcc", Q.q_doc_wcc)
+    timed("doc_lpa", Q.q_doc_lpa)
+    timed("doc_triangles", Q.q_doc_triangles)
+    timed("doc_linkpred", Q.q_doc_linkpred)
+    timed("user_jaccard_topk", Q.q_user_jaccard_topk)
+    timed("token_stats", Q.q_token_stats)
+    timed("quality_scores", Q.q_quality)
+    timed("dedup_exact", Q.q_dedup_exact)
+    timed("minhash_lsh_candidates", Q.q_minhash_lsh)
+    timed("simhash", Q.q_simhash)
+    timed("emb_cosine_topk", Q.q_emb_cosine_topk)
+
+    # headline: PageRank superstep throughput on the skewed power-law graph
+    from linkgraph.bench_graph import cached_powerlaw_edges
+    from linkgraph.graph import Graph
+    from linkgraph.algorithms.pagerank import PageRank
+
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "data",
+                             f"pl_n{n_nodes}_d16")
+    edges = cached_powerlaw_edges(spark, bench_dir, n_nodes=n_nodes, avg_deg=16)
+    n_edges = edges.count()
+    g = Graph.from_edges(edges)
+    # push/CSR: the at-scale path (salt-free gather thanks to map-side combine)
+    pr = PageRank(max_iterations=supersteps, strategy="csr", num_blocks=cpus,
+                  block_store=bench_dir + f"_csrblocks{cpus}")
+    t0 = time.time()
+    pr.run(g).count()
+    timings["pagerank_powerlaw_csr_total"] = round(time.time() - t0, 3)
+    loop_sec = sum(pr.metrics.superstep_millis) / 1000.0
+    timings["pagerank_powerlaw_csr_loop"] = round(loop_sec, 3)
+    # pull/CSC: the vector-fits-in-memory fast path (headline throughput)
+    prp = PageRank(max_iterations=supersteps, strategy="pull", num_blocks=cpus,
+                   block_store=bench_dir + f"_pullblocks{cpus}")
+    t0 = time.time()
+    prp.run(g).count()
+    timings["pagerank_powerlaw_pull_total"] = round(time.time() - t0, 3)
+    pull_loop = sum(prp.metrics.superstep_millis) / 1000.0
+    timings["pagerank_powerlaw_pull_loop"] = round(pull_loop, 3)
+    edges_per_sec = n_edges * supersteps / min(loop_sec, pull_loop)
+
+    print(
+        json.dumps(
+            {
+                "metric": "pagerank_edges_per_sec",
+                "value": round(edges_per_sec, 1),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").split("sf")[-1],
+                "bench_graph": {
+                    "n_nodes": n_nodes,
+                    "n_edges": int(n_edges),
+                    "supersteps": supersteps,
+                    "cpus": cpus,
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

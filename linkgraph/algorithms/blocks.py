@@ -1,34 +1,47 @@
-"""Per-partition CSR blocks held in Arrow UDFs.
+"""Per-partition CSR/CSC blocks, OS-page-cache-resident, for gather-scatter.
 
 The Spark analogue of the reference's compressed adjacency pages
 (`core/src/main/java/org/neo4j/graphalgo/core/huge/HugeAdjacencyList.java`,
 `AdjacencyCompression.java`) and of PageRank's degree-partitioned
-ComputeSteps (`algo/.../impl/pagerank/ComputeSteps.java`): edges are
-hash-partitioned by ``src`` into B blocks; each block is ONE DataFrame row
-holding numpy buffers
+ComputeSteps (`algo/.../impl/pagerank/ComputeSteps.java`).
 
-    src_ids   int64[n_src]   sorted unique sources in the block
-    indptr    int64[n_src+1] CSR row pointers into the edge arrays
-    wsum      float64[n_src] total out-weight W(u) per source (degree cache,
-                             cf. impl/pagerank/DegreeComputer.java)
-    dst_uniq  int64[n_dst]   unique targets touched by the block
-    dst_code  int32[n_edge]  per-edge index into dst_uniq (pre-computed so the
-                             per-superstep scatter is a single np.bincount)
-    weights   float64[n_edge]
+Two layouts, one block-store design:
 
-Packing arrays as BinaryType keeps each block a single Arrow cell — cheap to
-cache, cheap to join against the per-superstep rank blocks. The scatter UDF
-does a map-side combine (bincount per block) so each superstep's
-``groupBy(dst).agg(sum)`` shuffles at most B rows per target — the built-in
-answer to high-in-degree skew; explicit salting additionally covers the
-pure-DataFrame strategy (pagerank.py).
+* **push (CSR)** — edges hash-partitioned by ``src``; per block arrays
+  (src_ids, indptr, w_norm, dst_uniq, dst_code). Per superstep each block
+  scatters rank(u)·w_norm into a local bincount (map-side combine) and the
+  gather is ``groupBy(dst).agg(sum)`` — at most B partial rows per target,
+  so high-in-degree skew cannot unbalance the shuffle. Scales to rank
+  vectors far beyond single-machine memory.
+* **pull (CSC)** — edges partitioned by ``pmod(dst, B)``; per block
+  (src, slice_pos, w_norm) with slice_pos indexing np.arange(part, n, B).
+  Per superstep the driver broadcasts the rank vector and each block
+  computes its target slice with one gather + one bincount — ZERO shuffle;
+  the driver is the BSP barrier. The fast path while the vector fits in
+  memory (~10⁸ nodes).
 
-Everything per-element is numpy (Arrow batches); Python loops only over
-blocks/supersteps, never rows.
+``w_norm = w(u,v) / W(u)`` is baked per edge at build time (the degree
+cache of impl/pagerank/DegreeComputer.java), so the superstep kernel is a
+pure gather-multiply-bincount over numpy; Python loops only over blocks and
+supersteps.
+
+Storage: the build tasks write raw ``.npy`` arrays under ``path/part=K/``
+(one file per array — no Arrow 2 GB cell limits) and the compute tasks
+``np.load(..., mmap_mode='r')`` them. mmap makes the adjacency
+**OS-page-cache resident machine-wide**: any Python worker on the host hits
+RAM after the first touch, regardless of task placement — per-process RAM
+caches thrash when Spark schedules a partition on a different worker each
+superstep (measured: local[8] 3× slower than local[2] with per-process
+caching; see BENCH/BASELINE.md history). Per superstep, Arrow/broadcast
+traffic is ONLY the rank vector. On a cluster the store lives on the
+executor-local scratch of a shared filesystem (or is fetched once from
+object storage per host).
 """
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -36,44 +49,94 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-EDGE_BLOCK_SCHEMA = (
-    "part int, n_src long, n_edge long, src_ids binary, indptr binary, "
-    "wsum binary, dst_uniq binary, dst_code binary, weights binary"
-)
-
 RANK_BLOCK_SCHEMA = "part int, ids binary, vals binary"
 
+# tiny per-process handle cache; actual data pages are shared via OS page cache
+_MMAP_CACHE: dict[tuple, dict] = {}
 
-def _build_edge_block(pdf: pd.DataFrame) -> pd.DataFrame:
-    part = int(pdf["part"].iloc[0])
-    src = pdf["src"].to_numpy(np.int64)
-    dst = pdf["dst"].to_numpy(np.int64)
-    w = pdf["weight"].to_numpy(np.float64)
-    order = np.argsort(src, kind="stable")
-    src, dst, w = src[order], dst[order], w[order]
-    src_ids, counts = np.unique(src, return_counts=True)
-    indptr = np.concatenate(([0], np.cumsum(counts)))
-    wsum = np.add.reduceat(w, indptr[:-1]) if len(src_ids) else np.empty(0)
-    dst_uniq, dst_code = np.unique(dst, return_inverse=True)
-    return pd.DataFrame(
-        {
-            "part": [part],
-            "n_src": [len(src_ids)],
-            "n_edge": [len(src)],
-            "src_ids": [src_ids.tobytes()],
-            "indptr": [indptr.astype(np.int64).tobytes()],
-            "wsum": [wsum.astype(np.float64).tobytes()],
-            "dst_uniq": [dst_uniq.tobytes()],
-            "dst_code": [dst_code.astype(np.int32).tobytes()],
-            "weights": [w.tobytes()],
-        }
-    )
+_PUSH_ARRAYS = ["src_ids", "indptr", "w_norm", "dst_uniq", "dst_code"]
+_PULL_ARRAYS = ["src", "slice_pos", "w_norm"]
 
 
-def build_edge_blocks(edges: DataFrame, num_blocks: int) -> DataFrame:
-    """edges(src,dst,weight) → B cached CSR block rows, partitioned by src."""
+def _save_atomic(path: str, name: str, arr: np.ndarray) -> None:
+    tmp = os.path.join(path, f".{name}.tmp.npy")
+    np.save(tmp, arr)
+    os.replace(tmp, os.path.join(path, f"{name}.npy"))
+
+
+def _part_dir(path: str, part: int) -> str:
+    return os.path.join(path, f"part={part}")
+
+
+def _load_part(path: str, part: int, names: list[str]) -> dict | None:
+    key = (path, part)
+    blk = _MMAP_CACHE.get(key)
+    if blk is not None:
+        return blk
+    d = _part_dir(path, part)
+    if not os.path.isdir(d):
+        return None
+    blk = {}
+    for name in names:
+        f = os.path.join(d, f"{name}.npy")
+        if not os.path.exists(f):
+            return None
+        blk[name] = np.load(f, mmap_mode="r")
+    _MMAP_CACHE[key] = blk
+    if len(_MMAP_CACHE) > 4096:
+        _MMAP_CACHE.clear()
+    return blk
+
+
+def _finalize_store(df_manifest: DataFrame, path: str, num_blocks: int) -> None:
+    rows = df_manifest.collect()
+    manifest = {
+        "num_blocks": num_blocks,
+        "parts": {str(r["part"]): int(r["n_edge"]) for r in rows},
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    open(os.path.join(path, "_SUCCESS"), "w").close()
+
+
+def store_exists(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+# ---------------------------------------------------------------- push (CSR)
+def _build_push_writer(path: str):
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = int(pdf["part"].iloc[0])
+        src = pdf["src"].to_numpy(np.int64)
+        dst = pdf["dst"].to_numpy(np.int64)
+        w = pdf["weight"].to_numpy(np.float64)
+        order = np.argsort(src, kind="stable")
+        src, dst, w = src[order], dst[order], w[order]
+        src_ids, counts = np.unique(src, return_counts=True)
+        indptr = np.concatenate(([0], np.cumsum(counts)))
+        wsum = np.add.reduceat(w, indptr[:-1]) if len(src_ids) else np.empty(0)
+        w_norm = w / np.repeat(wsum, counts) if len(src) else w
+        dst_uniq, dst_code = np.unique(dst, return_inverse=True)
+        d = _part_dir(path, part)
+        os.makedirs(d, exist_ok=True)
+        _save_atomic(d, "src_ids", src_ids)
+        _save_atomic(d, "indptr", indptr.astype(np.int64))
+        _save_atomic(d, "w_norm", w_norm)
+        _save_atomic(d, "dst_uniq", dst_uniq)
+        _save_atomic(d, "dst_code", dst_code.astype(np.int32))
+        return pd.DataFrame({"part": [part], "n_edge": [len(src)]})
+
+    return build
+
+
+def write_edge_blocks(edges: DataFrame, num_blocks: int, path: str) -> None:
+    """Materialize the CSR block store once under `path/part=K/*.npy`."""
+    os.makedirs(path, exist_ok=True)
     e = edges.withColumn("part", F.pmod(F.col("src"), F.lit(num_blocks)).cast("int"))
-    return e.groupBy("part").applyInPandas(_build_edge_block, schema=EDGE_BLOCK_SCHEMA)
+    manifest = e.groupBy("part").applyInPandas(
+        _build_push_writer(path), schema="part int, n_edge long"
+    )
+    _finalize_store(manifest, path, num_blocks)
 
 
 def _pack_rank_block(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -96,44 +159,107 @@ def pack_rank_blocks(ranks: DataFrame, value_col: str, num_blocks: int) -> DataF
     return r.groupBy("part").applyInPandas(_pack_rank_block, schema=RANK_BLOCK_SCHEMA)
 
 
-def _scatter_batches(it: Iterator[pd.DataFrame], weighted: bool) -> Iterator[pd.DataFrame]:
-    for pdf in it:
-        for row in pdf.itertuples(index=False):
-            src_ids = np.frombuffer(row.src_ids, np.int64)
-            if len(src_ids) == 0:
-                continue
-            indptr = np.frombuffer(row.indptr, np.int64)
-            wsum = np.frombuffer(row.wsum, np.float64)
-            dst_uniq = np.frombuffer(row.dst_uniq, np.int64)
-            dst_code = np.frombuffer(row.dst_code, np.int32)
-            ids = np.frombuffer(row.ids, np.int64)
-            vals = np.frombuffer(row.vals, np.float64)
-            # rank lookup for this block's sources (ids are sorted)
-            pos = np.searchsorted(ids, src_ids)
-            # guard: sources missing from the rank vector contribute 0
-            ok = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == src_ids)
-            r_src = np.where(ok, vals[np.minimum(pos, len(ids) - 1)], 0.0)
-            per_src = np.divide(
-                r_src, wsum, out=np.zeros_like(r_src), where=wsum != 0.0
-            )
-            counts = np.diff(indptr)
-            per_edge = np.repeat(per_src, counts)
-            if weighted:
-                per_edge = per_edge * np.frombuffer(row.weights, np.float64)
-            partial = np.bincount(dst_code, weights=per_edge, minlength=len(dst_uniq))
-            yield pd.DataFrame({"dst": dst_uniq, "partial": partial})
+def scatter_gather(rank_blocks: DataFrame, block_path: str) -> DataFrame:
+    """One push superstep: (dst, contrib = Σ rank(u)·w_norm(u,v)).
 
-
-def scatter_gather(
-    edge_blocks: DataFrame, rank_blocks: DataFrame, weighted: bool
-) -> DataFrame:
-    """One superstep's contribution table: (dst, contrib=Σ rank(u)·w/W(u)).
-
-    join-on-part (B small rows each side) → per-block bincount scatter
-    (map-side combine) → global groupBy(dst).sum gather shuffle.
+    Per-block bincount scatter against the page-cache-resident CSR
+    (map-side combine) → global ``groupBy(dst).agg(sum)`` gather shuffle.
     """
-    joined = edge_blocks.join(rank_blocks, "part")
-    partials = joined.mapInPandas(
-        lambda it: _scatter_batches(it, weighted), schema="dst long, partial double"
-    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                blk = _load_part(block_path, int(row.part), _PUSH_ARRAYS)
+                if blk is None or len(blk["src_ids"]) == 0:
+                    continue
+                ids = np.frombuffer(row.ids, np.int64)
+                vals = np.frombuffer(row.vals, np.float64)
+                src_ids = np.asarray(blk["src_ids"])
+                pos = np.searchsorted(ids, src_ids)
+                ok = (pos < len(ids)) & (
+                    ids[np.minimum(pos, len(ids) - 1)] == src_ids
+                )
+                r_src = np.where(ok, vals[np.minimum(pos, len(ids) - 1)], 0.0)
+                per_edge = (
+                    np.repeat(r_src, np.diff(blk["indptr"])) * blk["w_norm"]
+                )
+                partial = np.bincount(
+                    blk["dst_code"], weights=per_edge, minlength=len(blk["dst_uniq"])
+                )
+                yield pd.DataFrame({"dst": np.asarray(blk["dst_uniq"]), "partial": partial})
+
+    partials = rank_blocks.mapInPandas(run, schema="dst long, partial double")
     return partials.groupBy("dst").agg(F.sum("partial").alias("contrib"))
+
+
+# ---------------------------------------------------------------- pull (CSC)
+def _build_pull_writer(path: str, num_blocks: int):
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = int(pdf["part"].iloc[0])
+        src = pdf["src"].to_numpy(np.int64)
+        dst = pdf["dst"].to_numpy(np.int64)
+        wn = pdf["w_norm"].to_numpy(np.float64)
+        order = np.argsort(dst, kind="stable")
+        src, dst, wn = src[order], dst[order], wn[order]
+        slice_pos = (dst - part) // num_blocks
+        d = _part_dir(path, part)
+        os.makedirs(d, exist_ok=True)
+        _save_atomic(d, "src", src if len(src) == 0 or src.max() >= 2**31
+                     else src.astype(np.int32))
+        _save_atomic(
+            d,
+            "slice_pos",
+            slice_pos.astype(np.int32)
+            if slice_pos.size == 0 or slice_pos.max() < 2**31
+            else slice_pos,
+        )
+        _save_atomic(d, "w_norm", wn)
+        return pd.DataFrame({"part": [part], "n_edge": [len(src)]})
+
+    return build
+
+
+def write_pull_blocks(edges: DataFrame, num_blocks: int, path: str) -> None:
+    """edges(src,dst,weight) → CSC store under `path/part=K/*.npy`.
+
+    w_norm = w/W(src) via one DataFrame join (src degrees are global here,
+    unlike the src-partitioned push build where they're partition-local).
+    """
+    os.makedirs(path, exist_ok=True)
+    wsum = edges.groupBy("src").agg(F.sum("weight").alias("_wsum"))
+    e = edges.join(wsum, "src").select(
+        "src",
+        "dst",
+        (F.col("weight") / F.col("_wsum")).alias("w_norm"),
+        F.pmod(F.col("dst"), F.lit(num_blocks)).cast("int").alias("part"),
+    )
+    manifest = e.groupBy("part").applyInPandas(
+        _build_pull_writer(path, num_blocks), schema="part int, n_edge long"
+    )
+    _finalize_store(manifest, path, num_blocks)
+
+
+def pull_superstep(
+    sc, block_path: str, num_blocks: int, n: int, p: np.ndarray
+) -> np.ndarray:
+    """One pull superstep: broadcast p, per-slice gather, reassemble on driver.
+
+    Returns the contribution vector Σ_{u→v} p[u]·w_norm(u,v), indexed by id.
+    """
+    bc = sc.broadcast(p)
+
+    def task(part: int):
+        blk = _load_part(block_path, part, _PULL_ARRAYS)
+        slice_len = max(0, (n - part + num_blocks - 1) // num_blocks)
+        if blk is None:
+            return part, np.zeros(slice_len).tobytes()
+        per_edge = bc.value[blk["src"]] * blk["w_norm"]
+        contrib = np.bincount(blk["slice_pos"], weights=per_edge, minlength=slice_len)
+        return part, contrib.tobytes()
+
+    results = sc.parallelize(range(num_blocks), num_blocks).map(task).collect()
+    out = np.zeros(n)
+    for part, buf in results:
+        out[part::num_blocks] = np.frombuffer(buf, np.float64)
+    bc.destroy()
+    return out

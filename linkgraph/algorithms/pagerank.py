@@ -29,6 +29,7 @@ lineage truncation; metrics mirror the reference's stats row
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -62,6 +63,7 @@ class PageRank:
         salt: int = 0,
         checkpoint: CheckpointManager | None = None,
         checkpoint_every: int = 0,
+        block_store: str | None = None,
     ):
         self.damping = damping
         self.max_iterations = max_iterations
@@ -73,6 +75,7 @@ class PageRank:
         self.salt = salt
         self.checkpoint = checkpoint
         self.checkpoint_every = checkpoint_every
+        self.block_store = block_store
         self.metrics = RunMetrics()
 
     # ------------------------------------------------------------------ setup
@@ -109,21 +112,126 @@ class PageRank:
             return stage1.groupBy("dst").agg(F.sum("c").alias("contrib"))
         return per_edge.groupBy("dst").agg(F.sum("c").alias("contrib"))
 
+    # ------------------------------------------------------------- pull loop
+    def _run_pull(self, graph: Graph) -> DataFrame:
+        """Broadcast-pull execution: dst-sliced CSC blocks, zero shuffle.
+
+        The rank vector lives on the driver (the BSP barrier); each superstep
+        broadcasts q = p/W and every block computes its target slice with one
+        gather + one bincount. Requires contiguous ids 0..n-1 and a vector
+        that fits driver/executor memory — the fast path below ~10⁸ nodes;
+        'csr' (push + shuffle gather) is the path beyond that.
+        """
+        import numpy as np
+        import pandas as pd
+
+        from linkgraph.algorithms import blocks
+
+        spark = graph.edges.sparkSession
+        sc = spark.sparkContext
+        d = self.damping
+        edges = (
+            graph.edges
+            if self.weighted
+            else graph.edges.withColumn("weight", F.lit(1.0))
+        )
+        b = self.num_blocks or sc.defaultParallelism
+
+        node_pd = self._teleport(graph.nodes).toPandas()
+        n = len(node_pd)
+        ids = node_pd["id"].to_numpy(np.int64)
+        if n == 0:
+            return graph.nodes.select("id", F.lit(0.0).alias("rank"))
+        if ids.min() != 0 or ids.max() != n - 1:
+            raise ValueError(
+                "pull strategy requires contiguous node ids 0..n-1 "
+                "(densify first, or use strategy='csr')"
+            )
+        t = np.zeros(n)
+        t[ids] = node_pd["t"].to_numpy(np.float64)
+
+        block_path = self.block_store
+        owns_blocks = False
+        if block_path is None:
+            import tempfile
+
+            block_path = tempfile.mkdtemp(prefix="linkgraph_pullblocks_")
+            owns_blocks = True
+        if not blocks.store_exists(block_path):
+            blocks.write_pull_blocks(edges, b, block_path)
+
+        p = t.copy()
+        start_step = 0
+        if self.checkpoint is not None:
+            latest = self.checkpoint.latest()
+            if latest is not None:
+                start_step, ck_df, _ = latest
+                ck_pd = ck_df.toPandas()
+                p = np.zeros(n)
+                p[ck_pd["id"].to_numpy(np.int64)] = ck_pd["rank"].to_numpy(np.float64)
+                self.metrics.resumed_from = start_step
+
+        converged = False
+        step = start_step
+        while step < self.max_iterations:
+            it0 = time.time()
+            contrib = blocks.pull_superstep(sc, block_path, b, n, p)
+            p_new = (1.0 - d) * t + d * contrib
+            step += 1
+            delta = float(np.abs(p_new - p).max())
+            self.metrics.deltas.append(delta)
+            p = p_new
+            if self.checkpoint is not None and (
+                self.checkpoint_every and step % self.checkpoint_every == 0
+            ):
+                ck_df = spark.createDataFrame(
+                    pd.DataFrame({"id": np.arange(n), "rank": p})
+                )
+                self.checkpoint.write(ck_df, step, {"delta": delta, "iteration": step})
+            self.metrics.superstep_millis.append(int((time.time() - it0) * 1000))
+            if self.tolerance is not None and delta < self.tolerance:
+                converged = True
+                break
+
+        self.metrics.iterations = step
+        self.metrics.did_converge = converged
+        if owns_blocks:
+            import shutil
+
+            shutil.rmtree(block_path, ignore_errors=True)
+        return spark.createDataFrame(pd.DataFrame({"id": np.arange(n), "rank": p}))
+
     # -------------------------------------------------------------------- run
     def run(self, graph: Graph) -> DataFrame:
+        if self.strategy == "pull":
+            t0 = time.time()
+            out = self._run_pull(graph)
+            self.metrics.compute_millis = int((time.time() - t0) * 1000)
+            return out
         t0 = time.time()
         d = self.damping
         nodes = self._teleport(graph.nodes).persist()
         edges = graph.edges
         start_step = 0
 
-        denom = edge_blocks = None
+        denom = None
+        block_path = None
+        owns_blocks = False
         b = self.num_blocks or edges.sparkSession.sparkContext.defaultParallelism
         if self.strategy == "csr":
-            edge_blocks = blocks.build_edge_blocks(
-                edges if self.weighted else edges.withColumn("weight", F.lit(1.0)), b
-            ).persist()
-            edge_blocks.count()  # materialize once; reused every superstep
+            # materialize the CSR block store once (worker-resident thereafter)
+            block_path = self.block_store
+            if block_path is None:
+                import tempfile
+
+                block_path = tempfile.mkdtemp(prefix="linkgraph_blocks_")
+                owns_blocks = True
+            if not blocks.store_exists(block_path):
+                blocks.write_edge_blocks(
+                    edges if self.weighted else edges.withColumn("weight", F.lit(1.0)),
+                    b,
+                    block_path,
+                )
         else:
             denom = self._denominator(edges).persist()
 
@@ -141,7 +249,7 @@ class PageRank:
             it0 = time.time()
             if self.strategy == "csr":
                 rank_blocks = blocks.pack_rank_blocks(ranks, "rank", b)
-                contribs = blocks.scatter_gather(edge_blocks, rank_blocks, True)
+                contribs = blocks.scatter_gather(rank_blocks, block_path)
             else:
                 contribs = self._contribs_join(edges, ranks, denom)
             # eager localCheckpoint = superstep barrier + lineage truncation
@@ -183,8 +291,10 @@ class PageRank:
         self.metrics.iterations = step
         self.metrics.did_converge = converged
         self.metrics.compute_millis = int((time.time() - t0) * 1000)
-        if edge_blocks is not None:
-            edge_blocks.unpersist()
+        if owns_blocks and block_path:
+            import shutil
+
+            shutil.rmtree(block_path, ignore_errors=True)
         if denom is not None:
             denom.unpersist()
         nodes.unpersist()

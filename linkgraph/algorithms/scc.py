@@ -1,0 +1,146 @@
+"""Strongly connected components — `algo.scc` (+ iterative variants).
+
+Reference: `algo/.../impl/scc/{SCCTarjan,SCCIterativeTarjan,SCCTunedTarjan}.java`,
+`algo/.../impl/multistep/MultistepSCC.java`.
+
+Two paths:
+
+* ``scc`` — distributed **forward-backward coloring** (Fleischer et al.,
+  the MultistepSCC approach): pick the max-id node of the remaining
+  subgraph as pivot, compute forward ∩ backward reachability with frontier
+  joins, peel the SCC, iterate on the remainder. O(#SCC) rounds worst case
+  (fine for mostly-DAG dependency graphs whose SCCs are few and large);
+  components labeled by min member id.
+* ``scc_tarjan`` — exact driver-side iterative Tarjan over collected CSR
+  for modest graphs (the reference's default is also single-threaded).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, functions as F
+
+from linkgraph.graph import Graph
+
+
+def _reach(edges: DataFrame, start_df: DataFrame, active: DataFrame) -> DataFrame:
+    """Nodes reachable from start set within `active` subgraph (incl. start)."""
+    visited = start_df.localCheckpoint(eager=True)
+    frontier = visited
+    while True:
+        nxt = (
+            edges.join(frontier, edges.src == frontier.id)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(active, "id")  # stay within the active subgraph
+            .join(visited, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def scc(graph: Graph, max_rounds: int = 10_000) -> DataFrame:
+    """→ (id, component): forward-backward coloring, min-member-id labels."""
+    edges = graph.edges.filter(F.col("src") != F.col("dst")).select("src", "dst").persist()
+    redges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")).persist()
+    spark = graph.nodes.sparkSession
+    active = graph.nodes.select("id").localCheckpoint(eager=True)
+    result = spark.createDataFrame([], "id long, component long")
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        # trim trivial SCCs: nodes with no in- or out-edge within active
+        srcs = edges.join(active.withColumnRenamed("id", "src"), "src").join(
+            active.withColumnRenamed("id", "dst"), "dst"
+        )
+        has_out = srcs.select(F.col("src").alias("id")).distinct()
+        has_in = srcs.select(F.col("dst").alias("id")).distinct()
+        nontrivial = active.join(has_out, "id").join(has_in, "id")
+        trivial = active.join(nontrivial, "id", "left_anti")
+        if not trivial.isEmpty():
+            result = result.unionByName(
+                trivial.select("id", F.col("id").alias("component"))
+            ).localCheckpoint(eager=True)
+            active = nontrivial.localCheckpoint(eager=True)
+        if active.isEmpty():
+            break
+        pivot = active.agg(F.max("id")).first()[0]
+        start = spark.createDataFrame([(int(pivot),)], "id long")
+        fwd = _reach(edges, start, active)
+        bwd = _reach(redges, start, active)
+        comp = fwd.join(bwd, "id")
+        cid = comp.agg(F.min("id")).first()[0]
+        result = result.unionByName(
+            comp.select("id", F.lit(int(cid)).alias("component"))
+        ).localCheckpoint(eager=True)
+        active = active.join(comp, "id", "left_anti").localCheckpoint(eager=True)
+        if active.isEmpty():
+            break
+    edges.unpersist()
+    redges.unpersist()
+    return result
+
+
+def scc_tarjan(graph: Graph) -> DataFrame:
+    """Exact iterative Tarjan on the driver → (id, component=min member id)."""
+    pdf = graph.edges.filter(F.col("src") != F.col("dst")).select("src", "dst").toPandas()
+    ids = [int(r["id"]) for r in graph.nodes.select("id").collect()]
+    adj: dict[int, list[int]] = {i: [] for i in ids}
+    for s, d in zip(pdf["src"].to_numpy(np.int64), pdf["dst"].to_numpy(np.int64)):
+        if int(s) in adj:
+            adj[int(s)].append(int(d))
+    index = {}
+    low = {}
+    on_stack = set()
+    stack: list[int] = []
+    comp_of: dict[int, int] = {}
+    counter = [0]
+
+    for root in ids:
+        if root in index:
+            continue
+        work = [(root, iter(adj[root]))]
+        index[root] = low[root] = counter[0]
+        counter[0] += 1
+        stack.append(root)
+        on_stack.add(root)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w_ in it:
+                if w_ not in index:
+                    index[w_] = low[w_] = counter[0]
+                    counter[0] += 1
+                    stack.append(w_)
+                    on_stack.add(w_)
+                    work.append((w_, iter(adj.get(w_, []))))
+                    advanced = True
+                    break
+                elif w_ in on_stack:
+                    low[v] = min(low[v], index[w_])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w_ = stack.pop()
+                    on_stack.discard(w_)
+                    members.append(w_)
+                    if w_ == v:
+                        break
+                cid = min(members)
+                for m in members:
+                    comp_of[m] = cid
+    spark = graph.nodes.sparkSession
+    return spark.createDataFrame(
+        sorted(comp_of.items()), "id long, component long"
+    )

@@ -34,7 +34,7 @@ def _run(spark, strategy, weighted=False, **kw):
     return got, pr
 
 
-@pytest.mark.parametrize("strategy", ["join", "csr"])
+@pytest.mark.parametrize("strategy", ["join", "csr", "pull"])
 def test_pagerank_fixed_iterations(spark, strategy):
     # exact-iteration equality vs the numpy oracle — stronger than convergence
     golden = np_pagerank([(s, d, 1.0) for s, d in G_PR], N, iters=30)
@@ -53,7 +53,7 @@ def test_pagerank_convergence_1e6(spark):
         assert got[i] == pytest.approx(golden[i], abs=1e-6)
 
 
-@pytest.mark.parametrize("strategy", ["join", "csr"])
+@pytest.mark.parametrize("strategy", ["join", "csr", "pull"])
 def test_pagerank_weighted(spark, strategy):
     golden = np_pagerank(_edges(True), N, weighted=True, iters=30)
     got, _ = _run(spark, strategy, weighted=True, max_iterations=30)
@@ -61,7 +61,7 @@ def test_pagerank_weighted(spark, strategy):
         assert got[i] == pytest.approx(golden[i], abs=1e-9)
 
 
-@pytest.mark.parametrize("strategy", ["join", "csr"])
+@pytest.mark.parametrize("strategy", ["join", "csr", "pull"])
 def test_pagerank_personalized(spark, strategy):
     t = np.zeros(N)
     t[3] = 1.0
