@@ -39,12 +39,17 @@ def _move_phase(edges: DataFrame, comm: DataFrame, m2: float, rounds: int) -> Da
             .groupBy(F.col("src").alias("id"), "ncomm")
             .agg(F.sum("weight").alias("w_in"))
         )
+        # eager materialization: `cand` feeds both `own` and `scored`; the
+        # doubled join subtree sends Catalyst's join-selection planning into
+        # a combinatorial blow-up on some shapes (observed wedged in
+        # SizeInBytesOnlyStatsPlanVisitor) — a shallow scan keeps every
+        # planning unit trivial
         cand = (
             w_to.join(comm, "id")
             .join(k, "id")
             .join(ktot.withColumnRenamed("comm", "ncomm").withColumnRenamed("ktot", "ntot"), "ncomm")
             .join(ktot, "comm")
-        )
+        ).localCheckpoint(eager=True)
         # gain of moving i from comm → ncomm (standard Louvain delta, constant
         # terms dropped): w_in(ncomm) − k_i·Σtot(ncomm)/2m, compared against
         # staying: w_in(own) − k_i·(Σtot(own)−k_i)/2m

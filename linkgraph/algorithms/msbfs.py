@@ -24,6 +24,11 @@ def _popcount(col):
     return F.bit_count(col).cast("long")
 
 
+def _bit(j: int) -> int:
+    """Signed-int64 bit literal (bit 63 = the sign bit)."""
+    return (1 << j) if j < 63 else -(1 << 63)
+
+
 def msbfs_distance_sums(
     graph: Graph,
     direction: str = "BOTH",
@@ -51,7 +56,7 @@ def msbfs_distance_sums(
     for lo in range(0, len(ids), 64):
         batch = ids[lo : lo + 64]
         bits_df = spark.createDataFrame(
-            [(int(node), 1 << j) for j, node in enumerate(batch)], "id long, bits long"
+            [(int(node), _bit(j)) for j, node in enumerate(batch)], "id long, bits long"
         )
         visited = bits_df.withColumnRenamed("bits", "vbits")
         frontier = bits_df
@@ -171,7 +176,7 @@ def all_shortest_paths_stream(
     for lo in range(0, len(ids), 64):
         batch = ids[lo : lo + 64]
         bits_df = spark.createDataFrame(
-            [(int(node), 1 << j) for j, node in enumerate(batch)], "id long, bits long"
+            [(int(node), _bit(j)) for j, node in enumerate(batch)], "id long, bits long"
         )
         src_map = spark.createDataFrame(
             [(j, int(node)) for j, node in enumerate(batch)], "bit int, source long"

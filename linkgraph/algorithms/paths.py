@@ -361,12 +361,17 @@ def dfs(
 def minimum_spanning_forest(graph: Graph, maximum: bool = False) -> DataFrame:
     """`algo.spanningTree(.minimum/.maximum)` → (src, dst, weight) tree edges.
 
-    Borůvka over DataFrames: per component pick its min (max) incident
-    edge, add to forest, merge components via hash-min, repeat — O(log n)
-    rounds, every step a join/agg (shuffle-friendly, unlike Prim's heap).
+    Borůvka: per component pick its min (max) incident edge — the heavy,
+    genuinely distributed step (window over all edges) — then merge
+    components with a DRIVER-side union-find over the picked edges (≤ one
+    per component, a set that halves every round, so the driver never holds
+    more than O(#components) rows; the id→component mapping stays a
+    DataFrame updated via a broadcast remap). O(log n) rounds.
     """
     und = graph.canonical_edges().persist()
+    und.count()
     sign = -1.0 if maximum else 1.0
+    spark = und.sparkSession
     comp = (
         und.select(F.col("src").alias("id"))
         .unionByName(und.select(F.col("dst").alias("id")))
@@ -374,64 +379,60 @@ def minimum_spanning_forest(graph: Graph, maximum: bool = False) -> DataFrame:
         .select("id", F.col("id").alias("comp"))
         .localCheckpoint(eager=True)
     )
-    spark = und.sparkSession
-    forest = spark.createDataFrame([], "src long, dst long, weight double")
-    for _ in range(64):
-        e = (
-            und.join(comp.withColumnRenamed("id", "src").withColumnRenamed("comp", "c1"), "src")
-            .join(comp.withColumnRenamed("id", "dst").withColumnRenamed("comp", "c2"), "dst")
-            .filter(F.col("c1") != F.col("c2"))
-        )
-        if e.isEmpty():
-            break
-        # min incident edge per component (deterministic tie-break)
-        cand = e.select(
-            F.explode(F.array("c1", "c2")).alias("comp"), "src", "dst", "weight"
-        )
-        from pyspark.sql import Window
+    forest_rows: list[tuple[int, int, float]] = []
+    from pyspark.sql import Window
 
-        win = Window.partitionBy("comp").orderBy(
+    for _ in range(64):
+        c1 = comp.select(F.col("id").alias("src"), F.col("comp").alias("c1"))
+        c2 = comp.select(F.col("id").alias("dst"), F.col("comp").alias("c2"))
+        e = und.join(c1, "src").join(c2, "dst").filter(F.col("c1") != F.col("c2"))
+        cand = e.select(
+            F.explode(F.array("c1", "c2")).alias("pcomp"), "src", "dst", "weight",
+            "c1", "c2",
+        )
+        win = Window.partitionBy("pcomp").orderBy(
             (sign * F.col("weight")).asc(), F.col("src").asc(), F.col("dst").asc()
         )
         picks = (
             cand.withColumn("_rn", F.row_number().over(win))
             .filter(F.col("_rn") == 1)
-            .select("src", "dst", "weight")
-            .distinct()
-            .localCheckpoint(eager=True)
+            .select("src", "dst", "weight", "c1", "c2")
+            .collect()
         )
-        forest = forest.unionByName(picks).dropDuplicates(["src", "dst"]).localCheckpoint(
-            eager=True
+        if not picks:
+            break
+        # driver union-find over picked component pairs
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        seen_edges = set()
+        for row in picks:
+            key = (row["src"], row["dst"])
+            if key not in seen_edges:
+                seen_edges.add(key)
+                forest_rows.append((row["src"], row["dst"], row["weight"]))
+            ra, rb = find(row["c1"]), find(row["c2"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        remap = {c: find(c) for c in parent}
+        remap_df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in remap.items()], "comp_old long, comp_new long"
         )
-        # merge: components connected by picked edges take the min comp id
-        pe = picks.join(
-            comp.withColumnRenamed("id", "src").withColumnRenamed("comp", "c1"), "src"
-        ).join(comp.withColumnRenamed("id", "dst").withColumnRenamed("comp", "c2"), "dst")
-        remap = (
-            pe.select(F.col("c1").alias("a"), F.col("c2").alias("b"))
-            .unionByName(pe.select(F.col("c2").alias("a"), F.col("c1").alias("b")))
-            .groupBy("a")
-            .agg(F.min("b").alias("m"))
-            .select(F.col("a").alias("comp_old"), F.least("a", "m").alias("comp_new"))
-        )
-        # pointer-jump the remap to a fixpoint representative
-        for _ in range(8):
-            r2 = remap.select(
-                F.col("comp_old"), F.col("comp_new").alias("mid")
-            ).join(
-                remap.select(
-                    F.col("comp_old").alias("mid"), F.col("comp_new").alias("root")
-                ),
-                "mid",
-                "left",
-            )
-            remap = r2.select(
-                "comp_old", F.coalesce("root", "mid").alias("comp_new")
-            ).localCheckpoint(eager=True)
         comp = (
-            comp.join(remap, comp.comp == remap.comp_old, "left")
+            comp.join(F.broadcast(remap_df), comp.comp == remap_df.comp_old, "left")
             .select("id", F.coalesce("comp_new", "comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
     und.unpersist()
-    return forest
+    # forest edges were deduped by (src,dst) as they were picked
+    return spark.createDataFrame(
+        [(int(s), int(d), float(w)) for s, d, w in forest_rows],
+        "src long, dst long, weight double",
+    )

@@ -119,6 +119,248 @@ def sql_doc_pagerank() -> str:
     return "\n".join(parts)
 
 
+def q_doc_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PR: deterministic edge weight 1 + (src+dst) % 3."""
+    from linkgraph.algorithms.pagerank import PageRank
+
+    e = doc_edges(spark, sf_dir).withColumn(
+        "weight", (1 + (F.col("src") + F.col("dst")) % 3).cast("double")
+    )
+    docs = load_documents(spark, sf_dir)
+    g = Graph.from_edges(e, nodes=docs.select(F.col("doc_id").alias("id")))
+    ranks = PageRank(
+        damping=DAMPING, max_iterations=PR_ITERS, weighted=True, strategy="csr"
+    ).run(g)
+    return ranks.select("id", F.round("rank", 5).alias("rank"))
+
+
+def sql_doc_pagerank_weighted() -> str:
+    parts = [_PROLOG]
+    parts.append(
+        ", we AS MATERIALIZED (SELECT src, dst, "
+        "CAST(1 + (src + dst) % 3 AS DOUBLE) AS w FROM edges)"
+    )
+    parts.append(", outw AS MATERIALIZED (SELECT src, SUM(w) AS wsum FROM we GROUP BY src)")
+    parts.append(", r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes)")
+    for k in range(1, PR_ITERS + 1):
+        parts.append(
+            f""", r{k} AS MATERIALIZED (
+  SELECT n.id, {_ONE_MINUS_D} + {_D} * COALESCE(c.s, CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank * e.w / o.wsum) AS s
+    FROM we e JOIN r{k - 1} r ON e.src = r.id JOIN outw o ON e.src = o.src
+    GROUP BY e.dst
+  ) c ON n.id = c.id)"""
+        )
+    parts.append(f"SELECT id, ROUND(rank, 5) AS rank FROM r{PR_ITERS}")
+    return "\n".join(parts)
+
+
+def q_doc_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PR: teleport set = doc_id < 10."""
+    from linkgraph.algorithms.pagerank import PageRank
+
+    g = doc_graph(spark, sf_dir)
+    ranks = PageRank(
+        damping=DAMPING,
+        max_iterations=PR_ITERS,
+        source_nodes=list(range(10)),
+        strategy="csr",
+    ).run(g)
+    return ranks.select("id", F.round("rank", 5).alias("rank"))
+
+
+def sql_doc_pagerank_personalized() -> str:
+    parts = [_PROLOG]
+    parts.append(
+        ", tele AS (SELECT id, CASE WHEN id < 10 THEN CAST(1.0 AS DOUBLE) "
+        "ELSE CAST(0.0 AS DOUBLE) END AS t FROM nodes)"
+    )
+    parts.append(", outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS wsum FROM edges GROUP BY src)")
+    parts.append(", r0 AS (SELECT id, t AS rank FROM tele)")
+    for k in range(1, PR_ITERS + 1):
+        parts.append(
+            f""", r{k} AS MATERIALIZED (
+  SELECT n.id, {_ONE_MINUS_D} * n.t + {_D} * COALESCE(c.s, CAST(0.0 AS DOUBLE)) AS rank
+  FROM tele n LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank / o.wsum) AS s
+    FROM edges e JOIN r{k - 1} r ON e.src = r.id JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) c ON n.id = c.id)"""
+        )
+    parts.append(f"SELECT id, ROUND(rank, 5) AS rank FROM r{PR_ITERS}")
+    return "\n".join(parts)
+
+
+def q_doc_article_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.pagerank import article_rank
+
+    g = doc_graph(spark, sf_dir)
+    return article_rank(g, max_iterations=PR_ITERS).select(
+        "id", F.round("rank", 5).alias("rank")
+    )
+
+
+def sql_doc_article_rank() -> str:
+    parts = [_PROLOG]
+    parts.append(", outdeg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src)")
+    parts.append(", avgd AS (SELECT AVG(deg) AS a FROM outdeg)")
+    parts.append(", r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes)")
+    for k in range(1, PR_ITERS + 1):
+        parts.append(
+            f""", r{k} AS MATERIALIZED (
+  SELECT n.id, {_ONE_MINUS_D} + {_D} * COALESCE(c.s, CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank / (o.deg + (SELECT a FROM avgd))) AS s
+    FROM edges e JOIN r{k - 1} r ON e.src = r.id JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) c ON n.id = c.id)"""
+        )
+    parts.append(f"SELECT id, ROUND(rank, 5) AS rank FROM r{PR_ITERS}")
+    return "\n".join(parts)
+
+
+EV_ITERS = 12
+
+
+def q_doc_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.pagerank import eigenvector_centrality
+
+    g = doc_graph(spark, sf_dir)
+    out = eigenvector_centrality(g, max_iterations=EV_ITERS, normalization="max")
+    return out.select("id", F.round("rank", 5).alias("rank"))
+
+
+def sql_doc_eigenvector() -> str:
+    parts = [_PROLOG]
+    parts.append(", r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes)")
+    for k in range(1, EV_ITERS + 1):
+        parts.append(
+            f""", c{k} AS MATERIALIZED (
+  SELECT n.id, COALESCE(s.v, CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank) AS v FROM edges e JOIN r{k - 1} r ON e.src = r.id
+    GROUP BY e.dst) s ON n.id = s.id)
+, r{k} AS MATERIALIZED (
+  SELECT id, rank / (SELECT CASE WHEN sqrt(SUM(rank*rank)) = 0 THEN 1.0
+                     ELSE sqrt(SUM(rank*rank)) END FROM c{k}) AS rank
+  FROM c{k})"""
+        )
+    parts.append(
+        f"""SELECT id, ROUND(rank / (SELECT CASE WHEN MAX(rank) = 0 THEN 1.0
+        ELSE MAX(rank) END FROM r{EV_ITERS}), 5) AS rank FROM r{EV_ITERS}"""
+    )
+    return "\n".join(parts)
+
+
+SSSP_ROUNDS = 24
+
+
+def q_doc_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-stepping SSSP from node 0 on the weighted doc graph."""
+    from linkgraph.algorithms.paths import delta_stepping
+
+    e = doc_edges(spark, sf_dir).withColumn(
+        "weight", (1 + (F.col("src") + F.col("dst")) % 3).cast("double")
+    )
+    docs = load_documents(spark, sf_dir)
+    g = Graph.from_edges(e, nodes=docs.select(F.col("doc_id").alias("id")))
+    out = delta_stepping(g, 0, delta=2.0)
+    return out.select(F.col("node_id"), F.round("distance", 5).alias("distance"))
+
+
+def sql_doc_sssp() -> str:
+    """Bellman-Ford unrolled to fixpoint (diameter of the random doc graph
+    is far below SSSP_ROUNDS)."""
+    parts = [_PROLOG]
+    parts.append(
+        ", we AS MATERIALIZED (SELECT src, dst, "
+        "CAST(1 + (src + dst) % 3 AS DOUBLE) AS w FROM edges)"
+    )
+    parts.append(
+        ", d0 AS (SELECT id, CASE WHEN id = 0 THEN CAST(0.0 AS DOUBLE) END AS dist FROM nodes)"
+    )
+    for k in range(1, SSSP_ROUNDS + 1):
+        parts.append(
+            f""", d{k} AS MATERIALIZED (
+  SELECT n.id,
+         CASE WHEN n.dist IS NULL THEN r.cand
+              WHEN r.cand IS NULL THEN n.dist
+              ELSE LEAST(n.dist, r.cand) END AS dist
+  FROM d{k - 1} n LEFT JOIN (
+    SELECT e.dst AS id, MIN(p.dist + e.w) AS cand
+    FROM we e JOIN d{k - 1} p ON e.src = p.id AND p.dist IS NOT NULL
+    GROUP BY e.dst) r ON n.id = r.id)"""
+        )
+    parts.append(
+        f"SELECT id AS node_id, ROUND(dist, 5) AS distance FROM d{SSSP_ROUNDS} "
+        "WHERE dist IS NOT NULL"
+    )
+    return "\n".join(parts)
+
+
+BFS_ROUNDS = 24
+
+
+def q_doc_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS depths from node 0 over the directed doc graph."""
+    from linkgraph.algorithms.paths import bfs
+
+    g = doc_graph(spark, sf_dir)
+    return bfs(g, 0, direction="OUTGOING").select("node_id", F.col("depth"))
+
+
+def sql_doc_bfs() -> str:
+    parts = [_PROLOG]
+    parts.append(
+        ", b0 AS (SELECT id, CASE WHEN id = 0 THEN CAST(0 AS BIGINT) END AS depth FROM nodes)"
+    )
+    for k in range(1, BFS_ROUNDS + 1):
+        parts.append(
+            f""", b{k} AS MATERIALIZED (
+  SELECT n.id,
+         CASE WHEN n.depth IS NULL THEN r.cand
+              WHEN r.cand IS NULL THEN n.depth
+              ELSE LEAST(n.depth, r.cand) END AS depth
+  FROM b{k - 1} n LEFT JOIN (
+    SELECT e.dst AS id, MIN(p.depth + 1) AS cand
+    FROM edges e JOIN b{k - 1} p ON e.src = p.id AND p.depth IS NOT NULL
+    GROUP BY e.dst) r ON n.id = r.id)"""
+        )
+    parts.append(
+        f"SELECT id AS node_id, depth FROM b{BFS_ROUNDS} WHERE depth IS NOT NULL"
+    )
+    return "\n".join(parts)
+
+
+def q_user_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.similarity import overlap
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return overlap(events, "user_id", "event_type", top_k=3).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        "similarity",
+    )
+
+
+def sql_user_overlap_topk() -> str:
+    return """
+WITH cats AS MATERIALIZED (SELECT DISTINCT user_id, event_type FROM events),
+deg AS MATERIALIZED (SELECT user_id, COUNT(*) AS d FROM cats GROUP BY user_id),
+inter AS (
+  SELECT x.user_id AS a, y.user_id AS b, COUNT(*) AS i
+  FROM cats x JOIN cats y ON x.event_type = y.event_type AND x.user_id <> y.user_id
+  GROUP BY x.user_id, y.user_id),
+scored AS (
+  SELECT i.a, i.b,
+         CAST(i.i AS DOUBLE) / LEAST(da.d, db.d) AS similarity,
+         ROW_NUMBER() OVER (PARTITION BY i.a
+                            ORDER BY CAST(i.i AS DOUBLE) / LEAST(da.d, db.d) DESC, i.b ASC) AS rn
+  FROM inter i JOIN deg da ON da.user_id = i.a JOIN deg db ON db.user_id = i.b)
+SELECT a, b, ROUND(similarity, 5) AS similarity FROM scored WHERE rn <= 3"""
+
+
 # ----------------------------------------------------------------------- wcc
 def q_doc_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.algorithms.wcc import wcc
@@ -449,6 +691,73 @@ SELECT a, b, cosine FROM ranked WHERE rn <= 5"""
 
 
 # ------------------------------------------------------------ rows-only ops
+# (no SQL-expressible oracle: iterative internals, sampling, hashing, or
+# driver-side exact algorithms — the driver records a rows-only check)
+def q_doc_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.msbfs import closeness_centrality
+
+    g = doc_graph(spark, sf_dir)
+    out = closeness_centrality(g, direction="BOTH")
+    return out.select("id", F.round("centrality", 5).alias("centrality"))
+
+
+def q_doc_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.msbfs import harmonic_centrality
+
+    g = doc_graph(spark, sf_dir)
+    out = harmonic_centrality(g, direction="BOTH")
+    return out.select("id", F.round("centrality", 5).alias("centrality"))
+
+
+def q_doc_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.betweenness import betweenness_centrality
+
+    g = doc_graph(spark, sf_dir)
+    out = betweenness_centrality(g, direction="BOTH")
+    return out.select("id", F.round("centrality", 5).alias("centrality"))
+
+
+def q_doc_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.louvain import louvain
+
+    g = doc_graph(spark, sf_dir)
+    return louvain(g, max_levels=2, move_rounds=6).select("id", "community")
+
+
+def q_doc_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.scc import scc_tarjan
+
+    return scc_tarjan(doc_graph(spark, sf_dir))
+
+
+def q_doc_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.randomwalk import random_walks
+
+    g = doc_graph(spark, sf_dir)
+    return random_walks(g, steps=8, walks_per_node=2, seed=42)
+
+
+def q_doc_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.paths import minimum_spanning_forest
+
+    e = doc_edges(spark, sf_dir).withColumn(
+        "weight", (1 + (F.col("src") + F.col("dst")) % 3).cast("double")
+    )
+    g = Graph.from_edges(e)
+    return minimum_spanning_forest(g)
+
+
+def q_doc_balanced_triads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.triangles import balanced_triads
+
+    e = doc_edges(spark, sf_dir).withColumn(
+        "weight", F.when((F.col("src") + F.col("dst")) % 2 == 0, 1.0).otherwise(-1.0)
+    )
+    docs = load_documents(spark, sf_dir)
+    g = Graph.from_edges(e, nodes=docs.select(F.col("doc_id").alias("id")))
+    return balanced_triads(g)
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.pipeline.dedup import minhash_lsh_candidates
 
@@ -477,6 +786,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "doc_pagerank": q_doc_pagerank,
+    "doc_pagerank_weighted": q_doc_pagerank_weighted,
+    "doc_pagerank_personalized": q_doc_pagerank_personalized,
+    "doc_article_rank": q_doc_article_rank,
+    "doc_eigenvector": q_doc_eigenvector,
+    "doc_sssp": q_doc_sssp,
+    "doc_bfs": q_doc_bfs,
+    "user_overlap_topk": q_user_overlap_topk,
     "doc_wcc": q_doc_wcc,
     "doc_wcc_sizes": q_doc_wcc_sizes,
     "doc_lpa": q_doc_lpa,
@@ -493,6 +809,14 @@ QUERIES = {
     "near_dup_jaccard": q_near_dup_jaccard,
     "emb_cosine_topk": q_emb_cosine_topk,
     # rows-only (no SQL-expressible oracle: hashing/UDF/iterative-internal)
+    "doc_closeness": q_doc_closeness,
+    "doc_harmonic": q_doc_harmonic,
+    "doc_betweenness": q_doc_betweenness,
+    "doc_louvain": q_doc_louvain,
+    "doc_scc": q_doc_scc,
+    "doc_random_walks": q_doc_random_walks,
+    "doc_mst": q_doc_mst,
+    "doc_balanced_triads": q_doc_balanced_triads,
     "minhash_lsh_candidates": q_minhash_lsh,
     "simhash": q_simhash,
     "emb_cosine_ivf": q_emb_cosine_ivf,
@@ -501,6 +825,13 @@ QUERIES = {
 
 ORACLES = {
     "doc_pagerank": sql_doc_pagerank(),
+    "doc_pagerank_weighted": sql_doc_pagerank_weighted(),
+    "doc_pagerank_personalized": sql_doc_pagerank_personalized(),
+    "doc_article_rank": sql_doc_article_rank(),
+    "doc_eigenvector": sql_doc_eigenvector(),
+    "doc_sssp": sql_doc_sssp(),
+    "doc_bfs": sql_doc_bfs(),
+    "user_overlap_topk": sql_user_overlap_topk(),
     "doc_wcc": sql_doc_wcc(),
     "doc_wcc_sizes": sql_doc_wcc_sizes(),
     "doc_lpa": sql_doc_lpa(),
