@@ -10,20 +10,138 @@ evaluate their best neighbor community against the previous round's state,
 ties broken by min community id) — the reference's sequential sweeps are
 order-dependent, so like LPA this is a deterministic variant of the same
 optimization, not a bit-for-bit port. Coarsening is a groupBy contraction
-(community → super-node). Modularity is computed exactly per level.
+(community → super-node).
+
+Scale design: Louvain coarsens geometrically — after the first level the
+super-graph is orders of magnitude smaller than the input. So the only
+phase that must be distributed is level 1 over the full-size edge table;
+every later level runs on the (tiny) coarsened graph with an exact
+numpy kernel on the driver. Both kernels implement the *same* synchronous
+parity-alternating move rule, so results are identical path-for-path
+(tested). ``driver_threshold`` picks the crossover by edge count.
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 from pyspark.sql import DataFrame, Window, functions as F
 
 from linkgraph.graph import Graph
 
+# below this many (both-direction) edge rows the whole multilevel loop runs
+# in one numpy kernel on the driver — Spark job overhead dominates there
+DRIVER_EDGE_THRESHOLD = 2_000_000
 
+
+# ------------------------------------------------------------- numpy kernel
+def _np_move_phase(src, dst, w, comm, k, m2: float, rounds: int):
+    """Synchronous best-gain moves, parity-alternated — identical rule to
+    the distributed `_move_phase`. Node/community labels are dense [0, n).
+    Returns the updated comm array."""
+    n = len(k)
+    nonself = src != dst
+    s, d, ww = src[nonself], dst[nonself], w[nonself]
+    stable = 0
+    for rnd in range(rounds):
+        ktot = np.bincount(comm, weights=k, minlength=n)
+        # w_to: Σ weight from node i into neighbor community c
+        key = s.astype(np.int64) * n + comm[d]
+        uk, inv = np.unique(key, return_inverse=True)
+        w_in = np.bincount(inv, weights=ww)
+        pi = (uk // n).astype(np.int64)
+        pc = (uk % n).astype(np.int64)
+        own = np.zeros(n)
+        own_mask = pc == comm[pi]
+        own[pi[own_mask]] = w_in[own_mask]
+        stay = own[pi] - k[pi] * (ktot[comm[pi]] - k[pi]) / m2
+        gain = (w_in - k[pi] * ktot[pc] / m2) - stay
+        cand = np.flatnonzero(
+            (pc != comm[pi]) & (gain > 1e-12) & (pi % 2 == rnd % 2)
+        )
+        if cand.size == 0:
+            stable += 1
+            if stable >= 2:
+                break
+            continue
+        stable = 0
+        # best per node: gain desc, ncomm asc (np.lexsort: last key primary)
+        order = np.lexsort((pc[cand], -gain[cand], pi[cand]))
+        si = cand[order]
+        first = np.ones(len(si), bool)
+        first[1:] = pi[si][1:] != pi[si][:-1]
+        movers = si[first]
+        comm = comm.copy()
+        comm[pi[movers]] = pc[movers]
+    return comm
+
+
+def _np_modularity(src, dst, w, comm, k, m2: float) -> float:
+    internal = float(w[comm[src] == comm[dst]].sum())
+    ktot = np.bincount(comm, weights=k, minlength=len(k))
+    return internal / m2 - float((ktot * ktot).sum()) / (m2 * m2)
+
+
+def _np_louvain(src, dst, w, n: int, m2: float, max_levels: int,
+                move_rounds: int, init_comm=None):
+    """Multilevel numpy Louvain over a both-direction edge list with dense
+    node labels [0, n). Returns (mapping original-node→community label in
+    original label space, levels list, final modularity)."""
+    k0 = np.bincount(src, weights=w, minlength=n)
+    mapping = np.arange(n, dtype=np.int64)  # original node -> current comm
+    cs, cd, cw = src, dst, w  # current-level (coarsened) edges
+    cur_n = n
+    levels = []
+    prev_q = _np_modularity(src, dst, w, mapping, k0, m2)
+    for _ in range(max_levels):
+        if len(levels) == 0 and init_comm is not None:
+            comm = init_comm.astype(np.int64)
+        else:
+            comm = np.arange(cur_n, dtype=np.int64)
+        kk = np.bincount(cs, weights=cw, minlength=cur_n)
+        comm = _np_move_phase(cs, cd, cw, comm, kk, m2, move_rounds)
+        mapping = comm[mapping]
+        q = _np_modularity(src, dst, w, mapping, k0, m2)
+        levels.append(mapping.copy())
+        if q <= prev_q + 1e-9:
+            break
+        prev_q = q
+        # coarsen: relabel communities densely, contract edges
+        uniq, dense = np.unique(mapping, return_inverse=True)
+        mapping = dense.astype(np.int64)
+        cur_n = len(uniq)
+        key = mapping[src] * cur_n + mapping[dst]
+        uk, inv = np.unique(key, return_inverse=True)
+        cw = np.bincount(inv, weights=w)
+        cs = (uk // cur_n).astype(np.int64)
+        cd = (uk % cur_n).astype(np.int64)
+    # canonicalize: community label = min original (dense) node index in it,
+    # so labels are valid indices into the caller's id array
+    rep = np.full(int(mapping.max()) + 1, n, dtype=np.int64)
+    np.minimum.at(rep, mapping, np.arange(n, dtype=np.int64))
+    return rep[mapping], levels, prev_q
+
+
+def _collect_edges(und: DataFrame):
+    """Both-direction edge DataFrame → (src, dst, w) numpy + dense id map."""
+    pdf = und.select("src", "dst", "weight").toPandas()
+    src = pdf["src"].to_numpy(np.int64)
+    dst = pdf["dst"].to_numpy(np.int64)
+    w = pdf["weight"].to_numpy(np.float64)
+    ids = np.unique(np.concatenate([src, dst]))
+    src = np.searchsorted(ids, src)
+    dst = np.searchsorted(ids, dst)
+    return src, dst, w, ids
+
+
+# -------------------------------------------------------- distributed kernel
 def _move_phase(edges: DataFrame, comm: DataFrame, m2: float, rounds: int) -> DataFrame:
-    """Synchronous best-gain moves. edges: undirected both-direction rows."""
-    # k_i: weighted degree per node (self-loops count double)
+    """Synchronous best-gain moves. edges: undirected both-direction rows,
+    MUST be materialized (localCheckpoint/persist) by the caller."""
+    # k_i: weighted degree per node (self-loops count once in this
+    # both-direction row representation)
     k = edges.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("k"))
+    k = k.localCheckpoint(eager=True)
     stable = 0
     for rnd in range(rounds):
         # Σ_tot per community from previous assignment
@@ -77,24 +195,20 @@ def _move_phase(edges: DataFrame, comm: DataFrame, m2: float, rounds: int) -> Da
             # communities every synchronous round and oscillate forever
             .filter(F.pmod(F.col("id"), F.lit(2)) == rnd % 2)
             .select("id", F.col("ncomm").alias("new_comm"))
+            .localCheckpoint(eager=True)
         )
-        new_comm = (
+        moved = best.limit(1).count()
+        if moved == 0:
+            stable += 1
+            if stable >= 2:
+                break
+            continue
+        stable = 0
+        comm = (
             comm.join(best, "id", "left")
             .select("id", F.coalesce("new_comm", "comm").alias("comm"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_comm.alias("n")
-            .join(comm.alias("o"), "id")
-            .filter(F.col("n.comm") != F.col("o.comm"))
-            .limit(1)
-            .count()
-        )
-        comm = new_comm
-        # converged only when BOTH parities pass without a move
-        stable = stable + 1 if changed == 0 else 0
-        if stable >= 2:
-            break
     return comm
 
 
@@ -124,15 +238,67 @@ def louvain(
     move_rounds: int = 10,
     seed_col: str | None = None,
     include_intermediate: bool = False,
+    driver_threshold: int = DRIVER_EDGE_THRESHOLD,
 ):
     """→ (id, community) [+ .levels list of per-level assignments].
 
     Runs move+coarsen until modularity stops improving or max_levels.
+    Level 1 runs distributed when the edge table exceeds
+    ``driver_threshold`` rows; coarsened levels (and small graphs
+    outright) run the exact numpy kernel on the driver.
     """
-    und = graph.undirected_edges().filter(F.col("src") != F.col("dst"))
-    # both-direction rows: Σ weights = 2m
+    spark = graph.nodes.sparkSession
+    und = (
+        graph.undirected_edges()
+        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
+    n_rows = und.count()
     m2 = und.agg(F.sum("weight")).first()[0] or 1.0
     nodes = graph.nodes
+
+    def _result(mapping_df: DataFrame, q: float, levels):
+        result = mapping_df.select("id", F.col("comm").alias("community"))
+        result.levels = levels if include_intermediate else None
+        result.final_modularity = q
+        return result
+
+    if n_rows <= driver_threshold:
+        # ---- all-driver path (small graph / tests / contract scale)
+        src, dst, w, ids = _collect_edges(und)
+        n = len(ids)
+        init = None
+        if seed_col is not None and seed_col in nodes.columns:
+            seeds = (
+                nodes.select("id", F.col(seed_col).cast("long").alias("s"))
+                .toPandas()
+            )
+            raw = ids.copy()  # default init community: own id
+            nid = seeds["id"].to_numpy(np.int64)
+            sval = seeds["s"].to_numpy(np.float64)
+            keep = (~np.isnan(sval)) & np.isin(nid, ids)
+            raw[np.searchsorted(ids, nid[keep])] = sval[keep].astype(np.int64)
+            # factorize to dense labels in [0, n); np.unique is
+            # order-preserving so min-id tiebreaks match raw label order
+            _, init = np.unique(raw, return_inverse=True)
+            init = init.astype(np.int64)
+        mapping, lv_np, q = _np_louvain(
+            src, dst, w, n, m2, max_levels, move_rounds, init_comm=init
+        )
+        import pandas as pd
+
+        out_pdf = pd.DataFrame({"id": ids, "comm": ids[mapping]})
+        mdf = spark.createDataFrame(out_pdf)
+        # isolated nodes (no edges) keep their own id as community
+        mdf = (
+            nodes.select("id")
+            .join(mdf, "id", "left")
+            .select("id", F.coalesce("comm", "id").alias("comm"))
+        )
+        levels = [mdf] if include_intermediate else []
+        return _result(mdf, q, levels)
+
+    # ---- distributed level 1, then driver for the coarsened levels
     if seed_col is not None and seed_col in nodes.columns:
         comm = nodes.select(
             "id", F.coalesce(F.col(seed_col).cast("long"), F.col("id")).alias("comm")
@@ -141,40 +307,35 @@ def louvain(
         comm = nodes.select("id", F.col("id").alias("comm"))
     comm = comm.localCheckpoint(eager=True)
 
-    mapping = comm  # id -> current community in ORIGINAL id space
-    cur_edges = und
-    levels = []
-    prev_q = modularity(und, mapping, m2)
-    for _ in range(max_levels):
-        cur_comm = mapping.select(F.col("comm").alias("id")).distinct().select(
-            "id", F.col("id").alias("comm")
-        ) if levels else comm
-        moved = _move_phase(cur_edges, cur_comm, m2, move_rounds)
-        # compose: original id -> super-node -> new community
-        moved_map = moved.select(
-            F.col("id").alias("comm_key"), F.col("comm").alias("newc")
-        )
+    mapping = _move_phase(und, comm, m2, move_rounds)
+    levels = [mapping]
+    q1 = modularity(und, mapping, m2)
+    # coarsen: contract communities into super-nodes
+    lbl_s = mapping.select(F.col("id").alias("src"), F.col("comm").alias("cs"))
+    lbl_d = mapping.select(F.col("id").alias("dst"), F.col("comm").alias("cd"))
+    coarse = (
+        und.join(lbl_s, "src")
+        .join(lbl_d, "dst")
+        .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+        .agg(F.sum("weight").alias("weight"))
+        .localCheckpoint(eager=True)
+    )
+    if max_levels > 1:
+        csrc, cdst, cw, cids = _collect_edges(coarse)
+        cn = len(cids)
+        cmap, _, q = _np_louvain(csrc, cdst, cw, cn, m2, max_levels - 1, move_rounds)
+        import pandas as pd
+
+        super_pdf = pd.DataFrame({"comm": cids, "final": cids[cmap]})
+        super_df = spark.createDataFrame(super_pdf)
         mapping = (
-            mapping.join(moved_map, mapping.comm == moved_map.comm_key)
-            .select("id", F.col("newc").alias("comm"))
+            mapping.join(super_df, "comm")
+            .select("id", F.col("final").alias("comm"))
             .localCheckpoint(eager=True)
         )
-        q = modularity(und, mapping, m2)
+        if q <= q1:
+            q = q1
         levels.append(mapping)
-        if q <= prev_q + 1e-9:
-            break
-        prev_q = q
-        # coarsen: contract communities into super-nodes
-        lbl_s = mapping.select(F.col("id").alias("src"), F.col("comm").alias("cs"))
-        lbl_d = mapping.select(F.col("id").alias("dst"), F.col("comm").alias("cd"))
-        cur_edges = (
-            und.join(lbl_s, "src")
-            .join(lbl_d, "dst")
-            .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
-            .agg(F.sum("weight").alias("weight"))
-            .localCheckpoint(eager=True)
-        )
-    result = mapping.select("id", F.col("comm").alias("community"))
-    result.levels = levels if include_intermediate else None
-    result.final_modularity = prev_q
-    return result
+    else:
+        q = q1
+    return _result(mapping, q, levels if include_intermediate else [])

@@ -77,9 +77,17 @@ class Graph:
         if direction == INCOMING:
             e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
         elif direction == BOTH:
-            e = e.unionByName(
-                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
-            ).dropDuplicates(["src", "dst"])
+            # deterministic dedup: reciprocal edges (a,b,w1)/(b,a,w2) must
+            # resolve to the same weight on both directions — max, not an
+            # arbitrary surviving row (dropDuplicates is partition-order
+            # dependent)
+            e = (
+                e.unionByName(
+                    e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+                )
+                .groupBy("src", "dst")
+                .agg(F.max("weight").alias("weight"))
+            )
 
         if duplicate_relationships != "none":
             agg = _DEDUP_AGGS[duplicate_relationships]
@@ -102,7 +110,10 @@ class Graph:
         if not self.directed:
             return e
         rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
-        return e.unionByName(rev).dropDuplicates(["src", "dst"])
+        # deterministic dedup (see from_edges BOTH): groupBy.max, symmetric
+        return (
+            e.unionByName(rev).groupBy("src", "dst").agg(F.max("weight").alias("weight"))
+        )
 
     def canonical_edges(self) -> DataFrame:
         """Undirected edges canonicalized to src < dst (drops self-loops).
@@ -111,11 +122,15 @@ class Graph:
         (impl/triangle/IntersectingTriangleCount.java reads neighbors > node).
         """
         e = self.edges.filter(F.col("src") != F.col("dst"))
-        return e.select(
-            F.least("src", "dst").alias("src"),
-            F.greatest("src", "dst").alias("dst"),
-            "weight",
-        ).dropDuplicates(["src", "dst"])
+        return (
+            e.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+                "weight",
+            )
+            .groupBy("src", "dst")
+            .agg(F.max("weight").alias("weight"))
+        )
 
     # ---------------------------------------------------------------- degrees
     def degrees(self, direction: str = OUTGOING, weighted: bool = False) -> DataFrame:

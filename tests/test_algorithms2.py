@@ -234,3 +234,42 @@ def test_vector_similarity_procs(spark):
     assert eu[(0, 2)] == pytest.approx(1.0)  # dist 1.0 tie (2,3) -> min b
     p = pearson(items, top_k=3)
     assert p.count() == 12 or p.count() == 4 * 3
+
+
+def test_louvain_driver_vs_distributed_parity(spark):
+    """Both kernels implement the same synchronous parity-move rule, so the
+    final PARTITION must be identical (labels are canonical min-node-id)."""
+    edges = [
+        (0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0),
+        (3, 4, 1.0), (4, 5, 1.0), (3, 5, 1.0),
+        (6, 7, 1.0), (7, 8, 1.0), (6, 8, 1.0),
+        (2, 3, 0.1), (5, 6, 0.1),
+    ]
+    g = _g(spark, edges, ids=range(9))
+    small = louvain(g, max_levels=3, move_rounds=8)  # numpy path
+    big = louvain(g, max_levels=3, move_rounds=8, driver_threshold=0)
+
+    def partition(df):
+        rows = {r["id"]: r["community"] for r in df.collect()}
+        groups = {}
+        for i, c in rows.items():
+            groups.setdefault(c, set()).add(i)
+        return sorted(frozenset(s) for s in groups.values())
+
+    assert partition(small) == partition(big)
+
+
+def test_louvain_contract_query_fast():
+    """Regression for round 1: doc_louvain wall-clocked >12min at sf0.01 and
+    killed the driver correctness gate. Budget: <60s."""
+    import time
+
+    from linkgraph.queries import q_doc_louvain
+    from linkgraph.session import get_spark
+
+    spark = get_spark(app_name="lv-fast", master="local[4]", shuffle_partitions=4)
+    t0 = time.time()
+    out = q_doc_louvain(spark, "/root/testdata/sf0.01")
+    n = out.count()
+    assert n == 500
+    assert time.time() - t0 < 60
