@@ -5,11 +5,15 @@ ParallelBetweennessCentrality,RABrandesBetweennessCentrality}.java`.
 
 Brandes' dependency accumulation doesn't decompose into joins (SURVEY.md §7
 hard-part 6). Spark-native form: batch the SOURCES — each Arrow task runs
-exact per-source Brandes over the worker-resident CSR block store (the
-whole graph, mmap-shared via the OS page cache like pagerank blocks) and
-emits partial dependency scores; `groupBy(id).agg(sum)` combines. Exact
-when sources = all nodes; RA-Brandes sampling (`strategy: random|degree`,
-`probability`) scales it down, scores scaled by n/|S| as in the reference.
+exact per-source Brandes over the worker-resident CSR built DISTRIBUTED via
+`blocks.write_edge_blocks` (executor tasks write per-part .npy blocks to
+shared storage; each worker merges them into one global CSR once, then it
+is process/page-cache resident) and emits partial dependency scores;
+`groupBy(id).agg(sum)` combines. The per-source kernel is level-synchronous
+and numpy-vectorized (frontier-at-a-time gathers + np.add.at), no per-edge
+Python. Exact when sources = all nodes; RA-Brandes sampling (`strategy:
+random|degree`, `probability`) scales it down, scores scaled by n/|S| as in
+the reference.
 """
 
 from __future__ import annotations
@@ -22,81 +26,79 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from linkgraph.graph import Graph
+from linkgraph.algorithms import blocks
 
-_CSR_CACHE: dict[str, tuple] = {}
 
+def _ensure_store(graph: Graph, direction: str, store_path: str | None) -> tuple[str, int]:
+    """Distributed CSR block-store build (idempotent). Returns (path, n).
 
-def _csr_store(graph: Graph, direction: str, path: str) -> None:
-    import os
+    On a cluster `store_path` must live on shared storage (same contract as
+    PageRank's block_store); the local-mode default is a tempdir.
+    """
+    import tempfile
 
-    edges = (
-        graph.undirected_edges() if direction == "BOTH" else graph.edges
-    ).select("src", "dst")
-    pdf = edges.toPandas()
+    if store_path is None:
+        store_path = tempfile.mkdtemp(prefix="linkgraph_csrstore_")
     n = int(graph.nodes.agg(F.max("id")).first()[0]) + 1
-    src = pdf["src"].to_numpy(np.int64)
-    dst = pdf["dst"].to_numpy(np.int64)
-    order = np.argsort(src, kind="stable")
-    src, dst = src[order], dst[order]
-    indptr = np.zeros(n + 1, np.int64)
-    np.add.at(indptr, src + 1, 1)
-    indptr = np.cumsum(indptr)
-    os.makedirs(path, exist_ok=True)
-    np.save(os.path.join(path, "indptr.npy"), indptr)
-    np.save(os.path.join(path, "indices.npy"), dst)
-    open(os.path.join(path, "_SUCCESS"), "w").close()
+    if not blocks.store_exists(store_path):
+        edges = (
+            graph.undirected_edges() if direction == "BOTH" else graph.edges
+        ).select("src", "dst", "weight")
+        b = graph.nodes.sparkSession.sparkContext.defaultParallelism
+        blocks.write_edge_blocks(edges, b, store_path)
+    return store_path, n
 
 
-def _load_csr(path: str):
-    import os
+def _neighbors_flat(indptr, indices, frontier):
+    """Vectorized adjacency gather: → (neighbors, parents) flat arrays."""
+    starts = indptr[frontier]
+    counts = indptr[frontier + 1] - starts
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    flat = np.repeat(starts - offs, counts) + np.arange(total)
+    return indices[flat], np.repeat(frontier, counts)
 
-    csr = _CSR_CACHE.get(path)
-    if csr is None:
-        csr = (
-            np.load(os.path.join(path, "indptr.npy"), mmap_mode="r"),
-            np.load(os.path.join(path, "indices.npy"), mmap_mode="r"),
-        )
-        _CSR_CACHE[path] = csr
-    return csr
+
+def _brandes_single(indptr, indices, s: int, n: int, delta_out: np.ndarray):
+    """One source's Brandes pass; accumulates dependencies into delta_out."""
+    dist = np.full(n, -1, np.int64)
+    sigma = np.zeros(n)
+    dist[s] = 0
+    sigma[s] = 1.0
+    frontier = np.array([s], np.int64)
+    levels = [frontier]
+    d = 0
+    while frontier.size:
+        nbrs, par = _neighbors_flat(indptr, indices, frontier)
+        new_nodes = np.unique(nbrs[dist[nbrs] == -1])
+        dist[new_nodes] = d + 1
+        eq = dist[nbrs] == d + 1
+        np.add.at(sigma, nbrs[eq], sigma[par[eq]])
+        frontier = new_nodes
+        if frontier.size:
+            levels.append(frontier)
+        d += 1
+    delta = np.zeros(n)
+    for li in range(len(levels) - 2, -1, -1):
+        us = levels[li]
+        nbrs, par = _neighbors_flat(indptr, indices, us)
+        m = dist[nbrs] == li + 1
+        if m.any():
+            contrib = sigma[par[m]] / sigma[nbrs[m]] * (1.0 + delta[nbrs[m]])
+            np.add.at(delta, par[m], contrib)
+    delta[s] = 0.0
+    delta_out += delta
 
 
-def _brandes_batch(path: str):
+def _brandes_batch(path: str, n: int):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        indptr, indices = _load_csr(path)
-        n = len(indptr) - 1
+        indptr, indices, _ = blocks.load_global_csr(path, n)
         for pdf in batches:
             dep_total = np.zeros(n)
             for s in pdf["source"].to_numpy(np.int64):
-                # BFS phase
-                dist = np.full(n, -1, np.int64)
-                sigma = np.zeros(n)
-                dist[s] = 0
-                sigma[s] = 1.0
-                order = [int(s)]
-                frontier = [int(s)]
-                d = 0
-                while frontier:
-                    nxt = []
-                    for u in frontier:
-                        for v in indices[indptr[u] : indptr[u + 1]]:
-                            v = int(v)
-                            if dist[v] == -1:
-                                dist[v] = d + 1
-                                nxt.append(v)
-                                order.append(v)
-                            if dist[v] == d + 1:
-                                sigma[v] += sigma[u]
-                    frontier = nxt
-                    d += 1
-                # accumulation phase (reverse BFS order)
-                delta = np.zeros(n)
-                for u in reversed(order):
-                    for v in indices[indptr[u] : indptr[u + 1]]:
-                        v = int(v)
-                        if dist[v] == dist[u] + 1 and sigma[v] > 0:
-                            delta[u] += sigma[u] / sigma[v] * (1.0 + delta[v])
-                    if u != s:
-                        dep_total[u] += delta[u]
+                _brandes_single(indptr, indices, int(s), n, dep_total)
             nz = np.nonzero(dep_total)[0]
             yield pd.DataFrame({"id": nz.astype(np.int64), "partial": dep_total[nz]})
 
@@ -109,14 +111,11 @@ def betweenness_centrality(
     probability: float | None = None,
     strategy: str = "random",
     seed: int = 42,
-    batch_size: int = 16,
+    store_path: str | None = None,
 ) -> DataFrame:
     """→ (id, centrality). Exact Brandes when probability is None, else
     RA-Brandes sampled pivots with n/|S| scaling."""
-    import tempfile
-
-    path = tempfile.mkdtemp(prefix="linkgraph_brandes_")
-    _csr_store(graph, direction, path)
+    path, n_arr = _ensure_store(graph, direction, store_path)
     sources = graph.nodes.select(F.col("id").alias("source"))
     n = sources.count()
     scale = 1.0
@@ -137,7 +136,7 @@ def betweenness_centrality(
     spark = graph.nodes.sparkSession
     b = spark.sparkContext.defaultParallelism
     partials = sources.repartition(b).mapInPandas(
-        _brandes_batch(path), schema="id long, partial double"
+        _brandes_batch(path, n_arr), schema="id long, partial double"
     )
     dep = partials.groupBy("id").agg(F.sum("partial").alias("dep"))
     half = 0.5 if direction == "BOTH" else 1.0

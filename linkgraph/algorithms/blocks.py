@@ -103,6 +103,57 @@ def store_exists(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def read_manifest(path: str) -> dict:
+    with open(os.path.join(path, "manifest.json")) as f:
+        return json.load(f)
+
+
+_GLOBAL_CSR_CACHE: dict[str, tuple] = {}
+
+
+def load_global_csr(path: str, n: int):
+    """Merge every part of a push (CSR) block store into ONE global CSR
+    (indptr[n+1], indices, w_norm), cached per process.
+
+    For source-batched whole-graph kernels (Brandes betweenness, random
+    walks) every task needs the full adjacency; the store is still BUILT
+    distributed (write_edge_blocks) on shared storage — only the merge is
+    per-worker, once, then page-cache/process-cache resident.
+    """
+    got = _GLOBAL_CSR_CACHE.get(path)
+    if got is not None:
+        return got
+    manifest = read_manifest(path)
+    srcs, dsts, ws = [], [], []
+    for k in range(int(manifest["num_blocks"])):
+        blk = _load_part(path, k, _PUSH_ARRAYS)
+        if blk is None or len(blk["src_ids"]) == 0:
+            continue
+        indptr_k = np.asarray(blk["indptr"])
+        srcs.append(np.repeat(np.asarray(blk["src_ids"]), np.diff(indptr_k)))
+        dsts.append(np.asarray(blk["dst_uniq"])[np.asarray(blk["dst_code"])])
+        ws.append(np.asarray(blk["w_norm"]))
+    if srcs:
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        w = np.concatenate(ws)
+    else:
+        src = np.empty(0, np.int64)
+        dst = np.empty(0, np.int64)
+        w = np.empty(0, np.float64)
+    order = np.argsort(src, kind="stable")
+    src, dst, w = src[order], dst[order], w[order]
+    indptr = np.concatenate(
+        ([0], np.cumsum(np.bincount(src, minlength=n)))
+    ).astype(np.int64)
+    got = (indptr, dst.astype(np.int64), w)
+    _GLOBAL_CSR_CACHE[path] = got
+    if len(_GLOBAL_CSR_CACHE) > 64:
+        _GLOBAL_CSR_CACHE.clear()
+        _GLOBAL_CSR_CACHE[path] = got
+    return got
+
+
 # ---------------------------------------------------------------- push (CSR)
 def _build_push_writer(path: str):
     def build(pdf: pd.DataFrame) -> pd.DataFrame:

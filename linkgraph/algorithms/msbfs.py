@@ -5,12 +5,17 @@ MultiSourceBFS.java` (bitset-parallel ANP, Then et al. VLDB'15) consumed by
 `algo/.../impl/closeness/{MSClosenessCentrality,HarmonicCentrality,
 DangalchevClosenessCentrality}.java`.
 
-Spark-native form: the frontier is a DataFrame (node, source_bits) where
-source_bits is an int64 bitset chunk of ≤64 concurrent sources; levels are
-synchronized by the driver loop; the combine is ``groupBy(node).agg(bit_or)``
-— the exact DataFrame analogue of ANP's bitwise frontier union. Sources are
-processed in batches of 64; per-level per-node distances accumulate into
-the centrality sums via popcount(newly visited bits).
+Spark-native form: sources are packed 64-per-int64-bitset into **chunks**
+and the frontier is ONE DataFrame (chunk, node, source_bits) carrying every
+chunk — all ⌈n/64⌉ chunks advance together, so the driver synchronizes one
+job per BFS LEVEL (graph diameter), not per level × chunk. The combine is
+``groupBy(chunk, node).agg(bit_or)`` — the DataFrame analogue of ANP's
+bitwise frontier union. Per-level distance increments accumulate lazily
+(union of per-level popcount deltas, aggregated once at the end), so the
+whole run is 2 actions per level + 1 final aggregation.
+
+State size is n × ⌈n/64⌉ bitset rows — inherent to all-pairs BFS; at very
+large n use sampled closeness (sample sources, scale sums by n/|S|).
 """
 
 from __future__ import annotations
@@ -19,14 +24,66 @@ from pyspark.sql import DataFrame, functions as F
 
 from linkgraph.graph import Graph
 
+_BIT_EXPR = (
+    "CASE WHEN bitpos = 63 THEN -9223372036854775808 "
+    "ELSE shiftleft(1L, bitpos) END"
+)
 
-def _popcount(col):
-    return F.bit_count(col).cast("long")
+
+def _assign_chunks(nodes: DataFrame, sample=None) -> DataFrame:
+    """→ (id, chunk, bitpos, bits): contiguous enumeration of source nodes
+    packed 64 per chunk. Uses RDD zipWithIndex (two jobs, no single-partition
+    window shuffle)."""
+    src_nodes = nodes.select("id")
+    if sample is not None:
+        src_nodes = sample.select("id")
+    spark = src_nodes.sparkSession
+    rdd = src_nodes.orderBy("id").rdd.map(lambda r: r[0]).zipWithIndex()
+    df = spark.createDataFrame(
+        rdd.map(lambda t: (int(t[0]), int(t[1] // 64), int(t[1] % 64))),
+        "id long, chunk int, bitpos int",
+    )
+    return df.withColumn("bits", F.expr(_BIT_EXPR))
 
 
-def _bit(j: int) -> int:
-    """Signed-int64 bit literal (bit 63 = the sign bit)."""
-    return (1 << j) if j < 63 else -(1 << 63)
+def _level_sync_msbfs(edges: DataFrame, assign: DataFrame, max_depth: int | None):
+    """Generator of (depth, new_bits_df) where new_bits_df = (chunk, id,
+    bits) newly-visited this level. Caller consumes until exhausted."""
+    frontier = assign.select("chunk", "id", "bits").localCheckpoint(eager=True)
+    visited = frontier.withColumnRenamed("bits", "vbits")
+    depth = 0
+    while True:
+        depth += 1
+        if max_depth is not None and depth > max_depth:
+            return
+        nxt = (
+            edges.join(frontier, edges.src == frontier.id)
+            .groupBy("chunk", F.col("dst").alias("id"))
+            .agg(F.expr("bit_or(bits)").alias("nbits"))
+        )
+        nxt = (
+            nxt.join(visited, ["chunk", "id"], "left")
+            .select(
+                "chunk",
+                "id",
+                F.expr("nbits & ~coalesce(vbits, 0L)").alias("bits"),
+            )
+            .filter(F.col("bits") != 0)
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            return
+        yield depth, nxt
+        visited = (
+            visited.join(nxt, ["chunk", "id"], "outer")
+            .select(
+                "chunk",
+                "id",
+                F.expr("coalesce(vbits, 0L) | coalesce(bits, 0L)").alias("vbits"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = nxt
 
 
 def msbfs_distance_sums(
@@ -38,82 +95,48 @@ def msbfs_distance_sums(
     """→ (id, reachable, dist_sum) per node over all sources (exact BFS).
 
     mode='closeness': dist_sum = Σ d;  'harmonic': Σ 1/d;  'dangalchev':
-    Σ 2^-d. Runs ⌈n/64⌉ bitset batches of parallel BFS levels.
+    Σ 2^-d. All bitset chunks advance in one job per level.
     """
     if direction == "BOTH":
         edges = graph.undirected_edges().select("src", "dst")
     else:
         edges = graph.edges.select("src", "dst")
     edges = edges.filter(F.col("src") != F.col("dst")).persist()
-    nodes = graph.nodes.select("id").persist()
-    ids = [r["id"] for r in nodes.collect()]
-    spark = nodes.sparkSession
+    nodes = graph.nodes.select("id")
+    assign = _assign_chunks(nodes)
 
-    acc = nodes.select(
-        "id", F.lit(0).cast("long").alias("reachable"), F.lit(0.0).alias("dist_sum")
-    ).localCheckpoint(eager=True)
-
-    for lo in range(0, len(ids), 64):
-        batch = ids[lo : lo + 64]
-        bits_df = spark.createDataFrame(
-            [(int(node), _bit(j)) for j, node in enumerate(batch)], "id long, bits long"
+    deltas = []
+    for depth, nxt in _level_sync_msbfs(edges, assign, max_depth):
+        deltas.append(
+            nxt.groupBy("id")
+            .agg(F.sum(F.bit_count("bits").cast("long")).alias("r_inc"))
+            .withColumn("depth", F.lit(depth).cast("long"))
         )
-        visited = bits_df.withColumnRenamed("bits", "vbits")
-        frontier = bits_df
-        depth = 0
-        while True:
-            depth += 1
-            if max_depth is not None and depth > max_depth:
-                break
-            nxt = (
-                edges.join(frontier, edges.src == frontier.id)
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.expr("bit_or(bits)").alias("nbits"))
-            )
-            # new bits = reached minus already-visited
-            nxt = (
-                nxt.join(visited, "id", "left")
-                .select(
-                    "id",
-                    F.expr("nbits & ~coalesce(vbits, 0L)").alias("bits"),
-                )
-                .filter(F.col("bits") != 0)
-                .localCheckpoint(eager=True)
-            )
-            if nxt.isEmpty():
-                break
-            if mode == "harmonic":
-                inc = _popcount(F.col("bits")).cast("double") / depth
-            elif mode == "dangalchev":
-                inc = _popcount(F.col("bits")).cast("double") * F.pow(
-                    F.lit(2.0), F.lit(-float(depth))
-                )
-            else:
-                inc = _popcount(F.col("bits")).cast("double") * depth
-            delta = nxt.select(
-                "id", _popcount(F.col("bits")).alias("r_inc"), inc.alias("d_inc")
-            )
-            acc = (
-                acc.join(delta, "id", "left")
-                .select(
-                    "id",
-                    (F.col("reachable") + F.coalesce("r_inc", F.lit(0))).alias("reachable"),
-                    (F.col("dist_sum") + F.coalesce("d_inc", F.lit(0.0))).alias("dist_sum"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            visited = (
-                visited.join(nxt, "id", "outer")
-                .select(
-                    "id",
-                    F.expr("coalesce(vbits, 0L) | coalesce(bits, 0L)").alias("vbits"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            frontier = nxt
     edges.unpersist()
-    nodes.unpersist()
-    return acc
+    if not deltas:
+        return nodes.select(
+            "id", F.lit(0).cast("long").alias("reachable"), F.lit(0.0).alias("dist_sum")
+        )
+    all_d = deltas[0]
+    for d in deltas[1:]:
+        all_d = all_d.unionByName(d)
+    if mode == "harmonic":
+        d_inc = F.col("r_inc").cast("double") / F.col("depth")
+    elif mode == "dangalchev":
+        d_inc = F.col("r_inc").cast("double") * F.pow(F.lit(2.0), -F.col("depth").cast("double"))
+    else:
+        d_inc = F.col("r_inc").cast("double") * F.col("depth")
+    sums = all_d.groupBy("id").agg(
+        F.sum("r_inc").alias("reachable"), F.sum(d_inc).alias("dist_sum")
+    )
+    return (
+        nodes.join(sums, "id", "left")
+        .select(
+            "id",
+            F.coalesce("reachable", F.lit(0)).cast("long").alias("reachable"),
+            F.coalesce("dist_sum", F.lit(0.0)).alias("dist_sum"),
+        )
+    )
 
 
 def closeness_centrality(
@@ -161,8 +184,9 @@ def all_shortest_paths_stream(
 ) -> DataFrame:
     """`algo.allShortestPaths.stream` (unweighted) → (source, target, distance).
 
-    MSBFS per 64-source batch; emits each reached (source,target) pair once
-    at its BFS level.
+    Chunked MSBFS; emits each reached (source,target) pair once at its BFS
+    level by exploding the newly-set bits against the (chunk, bitpos) →
+    source map.
     """
     if direction == "BOTH":
         edges = graph.undirected_edges().select("src", "dst")
@@ -170,65 +194,32 @@ def all_shortest_paths_stream(
         edges = graph.edges.select("src", "dst")
     edges = edges.filter(F.col("src") != F.col("dst")).persist()
     nodes = graph.nodes.select("id")
-    ids = [r["id"] for r in nodes.collect()]
-    spark = nodes.sparkSession
+    assign = _assign_chunks(nodes)
+    src_map = assign.select(
+        "chunk", F.col("bitpos").alias("bit"), F.col("id").alias("source")
+    ).localCheckpoint(eager=True)
+
     outs = []
-    for lo in range(0, len(ids), 64):
-        batch = ids[lo : lo + 64]
-        bits_df = spark.createDataFrame(
-            [(int(node), _bit(j)) for j, node in enumerate(batch)], "id long, bits long"
+    for depth, nxt in _level_sync_msbfs(edges, assign, max_depth):
+        hits = (
+            nxt.select(
+                "chunk",
+                F.col("id").alias("target"),
+                F.explode(
+                    F.expr(
+                        "filter(transform(sequence(0, 63), "
+                        "j -> CASE WHEN (bits & (CASE WHEN j = 63 THEN "
+                        "-9223372036854775808 ELSE shiftleft(1L, j) END)) != 0 "
+                        "THEN j END), x -> x IS NOT NULL)"
+                    )
+                ).alias("bit"),
+            )
+            .join(src_map, ["chunk", "bit"])
+            .select("source", "target", F.lit(depth).cast("long").alias("distance"))
         )
-        src_map = spark.createDataFrame(
-            [(j, int(node)) for j, node in enumerate(batch)], "bit int, source long"
-        )
-        visited = bits_df.withColumnRenamed("bits", "vbits")
-        frontier = bits_df
-        depth = 0
-        while True:
-            depth += 1
-            if max_depth is not None and depth > max_depth:
-                break
-            nxt = (
-                edges.join(frontier, edges.src == frontier.id)
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.expr("bit_or(bits)").alias("nbits"))
-            )
-            nxt = (
-                nxt.join(visited, "id", "left")
-                .select(
-                    "id",
-                    F.expr("nbits & ~coalesce(vbits, 0L)").alias("bits"),
-                )
-                .filter(F.col("bits") != 0)
-                .localCheckpoint(eager=True)
-            )
-            if nxt.isEmpty():
-                break
-            hits = (
-                nxt.select(
-                    F.col("id").alias("target"),
-                    F.explode(
-                        F.expr(
-                            "filter(transform(sequence(0, 63), "
-                            "j -> CASE WHEN (bits & shiftleft(1L, j)) != 0 THEN j END), "
-                            "x -> x IS NOT NULL)"
-                        )
-                    ).alias("bit"),
-                )
-                .join(src_map, "bit")
-                .select("source", "target", F.lit(depth).cast("long").alias("distance"))
-            )
-            outs.append(hits.localCheckpoint(eager=True))
-            visited = (
-                visited.join(nxt, "id", "outer")
-                .select(
-                    "id",
-                    F.expr("coalesce(vbits, 0L) | coalesce(bits, 0L)").alias("vbits"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            frontier = nxt
+        outs.append(hits)
     edges.unpersist()
+    spark = nodes.sparkSession
     if not outs:
         return spark.createDataFrame([], "source long, target long, distance long")
     out = outs[0]

@@ -321,8 +321,10 @@ def article_rank(
     outdeg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("double").alias("deg")
     )
-    # average out-degree over nodes WITH out-edges (reference semantics)
-    avg_deg = outdeg.agg(F.avg("deg")).first()[0] or 0.0
+    # average degree = relationshipCount / nodeCount over ALL nodes (the
+    # reference divides by total node count, so dangling nodes lower it)
+    n_nodes = nodes.count()
+    avg_deg = (outdeg.agg(F.sum("deg")).first()[0] or 0.0) / max(n_nodes, 1)
     ranks = nodes.select("id", F.lit(1.0).alias("rank"))
     converged = False
     for _ in range(max_iterations):

@@ -361,13 +361,16 @@ def dfs(
 def minimum_spanning_forest(graph: Graph, maximum: bool = False) -> DataFrame:
     """`algo.spanningTree(.minimum/.maximum)` → (src, dst, weight) tree edges.
 
-    Borůvka: per component pick its min (max) incident edge — the heavy,
-    genuinely distributed step (window over all edges) — then merge
-    components with a DRIVER-side union-find over the picked edges (≤ one
-    per component, a set that halves every round, so the driver never holds
-    more than O(#components) rows; the id→component mapping stays a
-    DataFrame updated via a broadcast remap). O(log n) rounds.
+    Borůvka, fully distributed: per component pick its min (max) incident
+    edge (window over all edges), union the picked edges into the forest
+    DataFrame (never collected to the driver), and merge components by
+    running hash-min WCC over the tiny component-merge graph — Borůvka's
+    contraction as a DataFrame fixpoint instead of a driver union-find.
+    O(log n) rounds; deterministic (weight, src, dst) tie-break keeps the
+    pick set cycle-free.
     """
+    from linkgraph.algorithms.wcc import wcc as _wcc
+
     und = graph.canonical_edges().persist()
     und.count()
     sign = -1.0 if maximum else 1.0
@@ -379,7 +382,7 @@ def minimum_spanning_forest(graph: Graph, maximum: bool = False) -> DataFrame:
         .select("id", F.col("id").alias("comp"))
         .localCheckpoint(eager=True)
     )
-    forest_rows: list[tuple[int, int, float]] = []
+    forest = None
     from pyspark.sql import Window
 
     for _ in range(64):
@@ -397,42 +400,29 @@ def minimum_spanning_forest(graph: Graph, maximum: bool = False) -> DataFrame:
             cand.withColumn("_rn", F.row_number().over(win))
             .filter(F.col("_rn") == 1)
             .select("src", "dst", "weight", "c1", "c2")
-            .collect()
+            .localCheckpoint(eager=True)
         )
-        if not picks:
+        if picks.isEmpty():
             break
-        # driver union-find over picked component pairs
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:
-                parent[x], x = r, parent[x]
-            return r
-
-        seen_edges = set()
-        for row in picks:
-            key = (row["src"], row["dst"])
-            if key not in seen_edges:
-                seen_edges.add(key)
-                forest_rows.append((row["src"], row["dst"], row["weight"]))
-            ra, rb = find(row["c1"]), find(row["c2"])
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        remap = {c: find(c) for c in parent}
-        remap_df = spark.createDataFrame(
-            [(int(a), int(b)) for a, b in remap.items()], "comp_old long, comp_new long"
+        # two components may pick the same edge — dedup within the round;
+        # across rounds an edge cannot recur (its endpoints share a comp)
+        new_edges = picks.select("src", "dst", "weight").distinct()
+        forest = (
+            new_edges if forest is None else forest.unionByName(new_edges)
+        ).localCheckpoint(eager=True)
+        # contract: connected components of the comp-merge graph
+        merge_graph = Graph.from_edges(
+            picks.select(F.col("c1").alias("src"), F.col("c2").alias("dst"))
+        )
+        mapping = _wcc(merge_graph).select(
+            F.col("id").alias("comp_old"), F.col("component").alias("comp_new")
         )
         comp = (
-            comp.join(F.broadcast(remap_df), comp.comp == remap_df.comp_old, "left")
+            comp.join(mapping, comp.comp == mapping.comp_old, "left")
             .select("id", F.coalesce("comp_new", "comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
     und.unpersist()
-    # forest edges were deduped by (src,dst) as they were picked
-    return spark.createDataFrame(
-        [(int(s), int(d), float(w)) for s, d, w in forest_rows],
-        "src long, dst long, weight double",
-    )
+    if forest is None:
+        return spark.createDataFrame([], "src long, dst long, weight double")
+    return forest

@@ -4,8 +4,9 @@ Reference: `algo/.../impl/walking/{RandomWalk,NodeWalker}.java`: per-start
 walks with uniform or node2vec (p=return, q=inOut) transition bias.
 
 Spark-native: walks run per start-node batch inside an Arrow UDF over the
-worker-resident CSR (mmap block store, like betweenness), seeded numpy RNG
-per start node → deterministic given (seed, start). No per-row Python.
+worker-resident global CSR merged from the DISTRIBUTED block store
+(blocks.write_edge_blocks on shared storage — no driver collect), seeded
+numpy RNG per start node → deterministic given (seed, start).
 """
 
 from __future__ import annotations
@@ -18,7 +19,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from linkgraph.graph import Graph
-from linkgraph.algorithms.betweenness import _csr_store, _load_csr
+from linkgraph.algorithms import blocks
+from linkgraph.algorithms.betweenness import _ensure_store
 
 
 def random_walks(
@@ -31,17 +33,15 @@ def random_walks(
     direction: str = "BOTH",
     seed: int = 42,
     start_nodes: list[int] | None = None,
+    store_path: str | None = None,
 ) -> DataFrame:
     """→ (start, walk_idx, path: array<long>)."""
-    import tempfile
-
-    path_dir = tempfile.mkdtemp(prefix="linkgraph_walks_")
-    _csr_store(graph, direction, path_dir)
+    path_dir, n_arr = _ensure_store(graph, direction, store_path)
 
     p_ret, q_io = float(return_param), float(in_out_param)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        indptr, indices = _load_csr(path_dir)
+        indptr, indices, _ = blocks.load_global_csr(path_dir, n_arr)
         for pdf in batches:
             rows = []
             for s in pdf["start"].to_numpy(np.int64):
@@ -55,15 +55,11 @@ def random_walks(
                         if len(nbrs) == 0:
                             break
                         if mode == "node2vec" and prev >= 0:
-                            prev_nbrs = set(
-                                indices[indptr[prev] : indptr[prev + 1]].tolist()
-                            )
+                            prev_nbrs = indices[indptr[prev] : indptr[prev + 1]]
                             w = np.where(
                                 nbrs == prev,
                                 1.0 / p_ret,
-                                np.where(
-                                    [int(x) in prev_nbrs for x in nbrs], 1.0, 1.0 / q_io
-                                ),
+                                np.where(np.isin(nbrs, prev_nbrs), 1.0, 1.0 / q_io),
                             )
                             w = w / w.sum()
                             nxt = int(rng.choice(nbrs, p=w))

@@ -68,14 +68,28 @@ def euclidean_similarity_lists(a, b) -> Column:
 
 @pandas_udf("double")
 def pearson_lists(a: pd.Series, b: pd.Series) -> pd.Series:
-    out = np.empty(len(a))
-    for i, (x, y) in enumerate(zip(a, b)):
-        x = np.asarray(x, dtype=np.float64)
-        y = np.asarray(y, dtype=np.float64)
-        if len(x) == 0 or len(x) != len(y) or x.std() == 0 or y.std() == 0:
-            out[i] = 0.0
-        else:
-            out[i] = float(np.corrcoef(x, y)[0, 1])
+    """Batch-vectorized Pearson over ragged list pairs: one concatenate +
+    segment-reduce (np.add.reduceat) per Arrow batch, no per-row Python."""
+    out = np.zeros(len(a))
+    la = a.str.len().to_numpy()
+    lb = b.str.len().to_numpy()
+    ok = (la == lb) & (la > 0)
+    if not ok.any():
+        return pd.Series(out)
+    counts = la[ok].astype(np.int64)
+    va = np.concatenate([np.asarray(x, np.float64) for x in a[ok]])
+    vb = np.concatenate([np.asarray(x, np.float64) for x in b[ok]])
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    ma = np.add.reduceat(va, offs) / counts
+    mb = np.add.reduceat(vb, offs) / counts
+    ca = va - np.repeat(ma, counts)
+    cb = vb - np.repeat(mb, counts)
+    cov = np.add.reduceat(ca * cb, offs)
+    sa = np.sqrt(np.add.reduceat(ca * ca, offs))
+    sb = np.sqrt(np.add.reduceat(cb * cb, offs))
+    denom = sa * sb
+    r = np.where(denom > 0, cov / np.maximum(denom, 1e-300), 0.0)
+    out[ok] = r
     return pd.Series(out)
 
 

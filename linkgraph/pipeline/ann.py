@@ -65,15 +65,20 @@ def train_ivf_centroids(
     num_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    sample_fraction: float = 1.0,
+    sample_fraction: float | None = None,
+    max_sample: int = 100_000,
     iters: int = 5,
     seed: int = 42,
 ) -> np.ndarray:
     """Mini k-means on a driver-collected sample → (C, dim) centroids.
 
-    The sample is bounded; the assignment/search stays distributed.
+    The sample is BOUNDED (≤ max_sample rows by default — never the whole
+    corpus); the assignment/search stays distributed.
     """
     sample = corpus.select(vec_col)
+    if sample_fraction is None:
+        n = corpus.count()
+        sample_fraction = min(1.0, max_sample / max(n, 1))
     if sample_fraction < 1.0:
         sample = sample.sample(sample_fraction, seed=seed)
     x = np.array(sample.toPandas()[vec_col].tolist(), dtype=np.float64)

@@ -1,20 +1,21 @@
 """Deduplication operators: exact, token-Jaccard, MinHash+LSH, SimHash.
 
 Exact + Jaccard are pure DataFrame ops (hash-groupBy / inverted-index
-equi-join — the scale path: no cross-join). MinHash/SimHash signatures are
-Arrow-vectorized pandas UDFs over token arrays; LSH banding turns near-dup
-search into an equi-join on (band, band_hash) — the standard shuffle-
-friendly formulation for 100 TB corpora.
+equi-join — the scale path: no cross-join). Token hashing happens JVM-side
+(`xxhash64` inside `transform`, whole-stage codegen); the MinHash/SimHash
+signature kernels are Arrow-vectorized numpy over the pre-hashed token
+arrays — no Python string hashing anywhere in the hot path. LSH banding
+turns near-dup search into an equi-join on (band, band_hash), and SimHash
+gets its Hamming-ball candidate join via the block-permutation trick — the
+standard shuffle-friendly formulations for 100 TB corpora.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
 
@@ -28,21 +29,34 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def token_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.8, text_col: str = "text"
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """(a, b, jaccard) for unordered doc pairs with unigram-set Jaccard ≥ t.
 
     Inverted-index formulation: explode distinct tokens, equi-join on token,
     count intersections, |∪| from per-doc distinct counts. No cross-join —
-    cost scales with Σ_token df(token)², controllable via document-frequency
-    cutoffs at corpus scale.
+    cost is Σ_token df(token)². ``max_doc_freq`` drops tokens whose document
+    frequency exceeds the cutoff BEFORE the join: at corpus scale one
+    stopword token otherwise dominates the whole sum (df² blow-up). Pairs
+    only sharing dropped tokens are missed — standard prefix-filter
+    trade-off; at high thresholds route through minhash_lsh_candidates
+    first and use this as the exact verifier on candidates.
     """
     dtok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
     ).persist()
     dcnt = dtok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
-    a = dtok.select(F.col("doc_id").alias("a"), "tok")
-    b = dtok.select(F.col("doc_id").alias("b"), "tok")
+    joinable = dtok
+    if max_doc_freq is not None:
+        dfreq = dtok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        joinable = dtok.join(
+            dfreq.filter(F.col("df") <= max_doc_freq).select("tok"), "tok"
+        )
+    a = joinable.select(F.col("doc_id").alias("a"), "tok")
+    b = joinable.select(F.col("doc_id").alias("b"), "tok")
     inter = (
         a.join(b, "tok")
         .filter(F.col("a") < F.col("b"))
@@ -75,42 +89,44 @@ def _minhash_params(num_hashes: int, seed: int = 42):
     return a, b
 
 
-def _token_hashes(tokens: pd.Series) -> list[np.ndarray]:
-    """Stable 61-bit token hashes (md5-based, platform-independent)."""
-    out = []
-    for toks in tokens:
-        hs = np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
-                & _MERSENNE
-                for t in set(toks)
-            ),
-            dtype=np.int64,
-        )
-        out.append(hs)
-    return out
+def _token_hash_col(text_col: str):
+    """array<long> of per-token xxhash64 values — computed JVM-side inside
+    whole-stage codegen; Python never touches a token string."""
+    return F.transform(
+        F.array_distinct(F.split(F.col(text_col), " ")), lambda t: F.xxhash64(t)
+    )
 
 
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 64, text_col: str = "text", seed: int = 42
 ) -> DataFrame:
-    """(doc_id, sig: array<long>) — MinHash over unigram shingles."""
+    """(doc_id, sig: array<long>) — MinHash over unigram shingles.
+
+    Token hashes come pre-computed from the JVM (xxhash64); the kernel is
+    one (H × T) universal-hash matrix min per Arrow batch. Arithmetic wraps
+    in uint64 and masks to 61 bits — deterministic everywhere.
+    """
     a, b = _minhash_params(num_hashes, seed)
+    au = a.astype(np.uint64)
+    bu = b.astype(np.uint64)
 
     @pandas_udf("array<long>")
-    def sig_udf(texts: pd.Series) -> pd.Series:
-        tokens = texts.str.split(" ")
+    def sig_udf(tok_hashes: pd.Series) -> pd.Series:
         sigs = []
-        for hs in _token_hashes(tokens):
-            if len(hs) == 0:
-                sigs.append(np.full(num_hashes, _MERSENNE, dtype=np.int64))
+        empty = np.full(num_hashes, _MERSENNE, dtype=np.int64)
+        for hs in tok_hashes:
+            if hs is None or len(hs) == 0:
+                sigs.append(empty)
                 continue
-            # (a*h + b) mod p for all hashes × tokens, then min over tokens
-            m = (hs[None, :] * a[:, None] + b[:, None]) % _MERSENNE
-            sigs.append(m.min(axis=1))
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                m = (h[None, :] * au[:, None] + bu[:, None]) & np.uint64(_MERSENNE)
+            sigs.append(m.min(axis=1).astype(np.int64))
         return pd.Series(sigs)
 
-    return docs.select("doc_id", sig_udf(F.col(text_col)).alias("sig"))
+    return docs.select(
+        "doc_id", sig_udf(_token_hash_col(text_col)).alias("sig")
+    )
 
 
 def minhash_lsh_candidates(
@@ -153,33 +169,67 @@ def minhash_lsh_candidates(
 
 
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash) — 64-bit SimHash over unigram token hashes."""
+    """(doc_id, simhash) — 64-bit SimHash over JVM-hashed unigram tokens."""
 
     @pandas_udf("long")
-    def sim_udf(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, txt in enumerate(texts):
-            toks = set(txt.split(" "))
-            if not toks:
-                out[i] = 0
+    def sim_udf(tok_hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(tok_hashes), dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i, hs in enumerate(tok_hashes):
+            if hs is None or len(hs) == 0:
                 continue
-            hs = np.fromiter(
-                (
-                    int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
-                    for t in toks
-                ),
-                dtype=np.uint64,
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                np.int64
-            )
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
             votes = (2 * bits - 1).sum(axis=0)
             out[i] = np.int64(
-                np.uint64(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+                np.uint64(
+                    ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+                )
             )
         return pd.Series(out)
 
-    return docs.select("doc_id", sim_udf(F.col(text_col)).alias("simhash"))
+    return docs.select(
+        "doc_id", sim_udf(_token_hash_col(text_col)).alias("simhash")
+    )
+
+
+def simhash_candidates(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(a, b, hamming) pairs within a Hamming ball of the 64-bit SimHash.
+
+    Block-permutation LSH: split the 64 bits into (max_hamming + 1) blocks —
+    any pair within Hamming ≤ k agrees exactly on ≥ 1 block (pigeonhole), so
+    candidates come from an equi-join on (block_idx, block_bits) and the
+    exact popcount filter runs only on those.
+    """
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    sig = simhash64(docs, text_col)
+    # nblocks is a plan-time constant: unroll the block windows into one array
+    block_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bits"),
+            )
+            for i in range(nblocks)
+        ]
+    )
+    blocks = sig.select(
+        "doc_id", "simhash", F.explode(block_arr).alias("bb")
+    ).select("doc_id", "simhash", F.col("bb.blk").alias("blk"), F.col("bb.bits").alias("bits"))
+    l = blocks.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "blk", "bits")
+    r = blocks.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "blk", "bits")
+    pairs = (
+        l.join(r, ["blk", "bits"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.expr("ha ^ hb")).alias("hamming"))
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
 
 
 def embedding_near_duplicates(
@@ -187,23 +237,29 @@ def embedding_near_duplicates(
     threshold: float = 0.98,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_on: int = 8,
+    num_planes: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
     """(a, b, cosine) pairs above a cosine threshold, LSH-blocked.
 
-    Random-hyperplane sign bits (computed JVM-side from the first
-    ``block_on`` dimensions' signs as a cheap deterministic stand-in for
-    sampled projections) gate a within-bucket pair join, then exact cosine.
+    Random-hyperplane signature: ``num_planes`` seeded Gaussian hyperplanes
+    (Charikar SimHash for vectors) bucket the corpus via an Arrow-vectorized
+    projection; the pair join runs within buckets only, then exact cosine.
     """
+    rng = np.random.RandomState(seed)
+
+    @pandas_udf("long")
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        planes = rng.__class__(seed).normal(size=(x.shape[1], num_planes))
+        signs = (x @ planes) >= 0
+        powers = (1 << np.arange(num_planes)).astype(np.int64)
+        return pd.Series((signs @ powers).astype(np.int64))
+
     sig = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        F.xxhash64(
-            *[
-                (F.element_at(F.col(vec_col), i + 1) >= 0).cast("int")
-                for i in range(block_on)
-            ]
-        ).alias("bucket"),
+        bucket_udf(F.col(vec_col)).alias("bucket"),
     )
     a = sig.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
     b = sig.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")

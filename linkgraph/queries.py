@@ -204,7 +204,8 @@ def q_doc_article_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_doc_article_rank() -> str:
     parts = [_PROLOG]
     parts.append(", outdeg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src)")
-    parts.append(", avgd AS (SELECT AVG(deg) AS a FROM outdeg)")
+    # average degree = relationshipCount / nodeCount over ALL nodes
+    parts.append(", avgd AS (SELECT SUM(deg) / (SELECT COUNT(*) FROM nodes) AS a FROM outdeg)")
     parts.append(", r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes)")
     for k in range(1, PR_ITERS + 1):
         parts.append(
@@ -269,7 +270,12 @@ def q_doc_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("node_id"), F.round("distance", 5).alias("distance"))
 
 
-def sql_doc_sssp() -> str:
+def sql_doc_sssp(
+    final: str = (
+        "SELECT id AS node_id, ROUND(dist, 5) AS distance FROM d{last} "
+        "WHERE dist IS NOT NULL"
+    ),
+) -> str:
     """Bellman-Ford unrolled to fixpoint (diameter of the random doc graph
     is far below SSSP_ROUNDS)."""
     parts = [_PROLOG]
@@ -292,10 +298,7 @@ def sql_doc_sssp() -> str:
     FROM we e JOIN d{k - 1} p ON e.src = p.id AND p.dist IS NOT NULL
     GROUP BY e.dst) r ON n.id = r.id)"""
         )
-    parts.append(
-        f"SELECT id AS node_id, ROUND(dist, 5) AS distance FROM d{SSSP_ROUNDS} "
-        "WHERE dist IS NOT NULL"
-    )
+    parts.append(final.format(last=SSSP_ROUNDS))
     return "\n".join(parts)
 
 
@@ -725,9 +728,37 @@ def q_doc_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from linkgraph.algorithms.scc import scc_tarjan
+    """Distributed forward-backward-coloring SCC (NOT the driver Tarjan)."""
+    from linkgraph.algorithms.scc import scc
 
-    return scc_tarjan(doc_graph(spark, sf_dir))
+    return scc(doc_graph(spark, sf_dir))
+
+
+SCC_DOUBLINGS = 6  # reach closure covers directed paths ≤ 2^6 = 64 hops
+
+
+def sql_doc_scc() -> str:
+    """SCC oracle: iterative-doubling directed transitive closure, then
+    component(v) = min{u : v⇝u ∧ u⇝v}."""
+    parts = [_PROLOG]
+    parts.append(
+        ", r0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges "
+        "UNION SELECT id, id FROM nodes)"
+    )
+    for k in range(1, SCC_DOUBLINGS + 1):
+        parts.append(
+            f""", r{k} AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM r{k - 1}
+    UNION ALL
+    SELECT x.a, y.b FROM r{k - 1} x JOIN r{k - 1} y ON x.b = y.a) t)"""
+        )
+    parts.append(
+        f"""SELECT m.a AS id, MIN(m.b) AS component
+FROM r{SCC_DOUBLINGS} m JOIN r{SCC_DOUBLINGS} rr ON m.a = rr.b AND m.b = rr.a
+GROUP BY m.a"""
+    )
+    return "\n".join(parts)
 
 
 def q_doc_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -784,22 +815,570 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synthesize_media(spark, n=64))
 
 
+# ------------------------------------------------- APSP-oracle-backed queries
+APSP_ROUNDS = 16
+
+
+def _apsp_ctes() -> str:
+    """Pair-BFS over `ue` unrolled to fixpoint → `apsp(source, node, d)`
+    with d ≥ 1 for every reached non-self pair (undirected distances)."""
+    parts = [", p0 AS MATERIALIZED (SELECT id AS source, id AS node, 0 AS d FROM nodes)"]
+    for k in range(1, APSP_ROUNDS + 1):
+        parts.append(
+            f""", p{k} AS MATERIALIZED (
+  SELECT source, node, MIN(d) AS d FROM (
+    SELECT source, node, d FROM p{k - 1}
+    UNION ALL
+    SELECT p.source, u.dst AS node, p.d + 1 AS d
+    FROM p{k - 1} p JOIN ue u ON p.node = u.src
+  ) t GROUP BY source, node)"""
+        )
+    parts.append(
+        f", apsp AS MATERIALIZED (SELECT source, node, d FROM p{APSP_ROUNDS} WHERE d > 0)"
+    )
+    return "\n".join(parts)
+
+
+def sql_doc_closeness() -> str:
+    return (
+        _PROLOG
+        + _apsp_ctes()
+        + """
+, sums AS (SELECT source AS id, SUM(d) AS ds FROM apsp GROUP BY source)
+SELECT n.id,
+       ROUND(CASE WHEN COALESCE(s.ds, 0) > 0
+             THEN ((SELECT COUNT(*) FROM nodes) - 1.0) / s.ds
+             ELSE 0.0 END, 5) AS centrality
+FROM nodes n LEFT JOIN sums s ON n.id = s.id"""
+    )
+
+
+def sql_doc_harmonic() -> str:
+    return (
+        _PROLOG
+        + _apsp_ctes()
+        + """
+, sums AS (SELECT source AS id, SUM(1.0 / d) AS hs FROM apsp GROUP BY source)
+SELECT n.id,
+       ROUND(COALESCE(s.hs, 0.0) / ((SELECT COUNT(*) FROM nodes) - 1.0), 5) AS centrality
+FROM nodes n LEFT JOIN sums s ON n.id = s.id"""
+    )
+
+
+def q_doc_dangalchev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.msbfs import dangalchev_closeness
+
+    g = doc_graph(spark, sf_dir)
+    out = dangalchev_closeness(g, direction="BOTH")
+    return out.select("id", F.round("centrality", 5).alias("centrality"))
+
+
+def sql_doc_dangalchev() -> str:
+    return (
+        _PROLOG
+        + _apsp_ctes()
+        + """
+, sums AS (SELECT source AS id, SUM(POWER(2.0, -d)) AS dc FROM apsp GROUP BY source)
+SELECT n.id, ROUND(COALESCE(s.dc, 0.0), 5) AS centrality
+FROM nodes n LEFT JOIN sums s ON n.id = s.id"""
+    )
+
+
+def q_doc_allsp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """allShortestPaths.stream (unweighted, BOTH) — every reached pair."""
+    from linkgraph.algorithms.msbfs import all_shortest_paths_stream
+
+    g = doc_graph(spark, sf_dir)
+    return all_shortest_paths_stream(g, direction="BOTH")
+
+
+def sql_doc_allsp() -> str:
+    return (
+        _PROLOG
+        + _apsp_ctes()
+        + "\nSELECT source, node AS target, CAST(d AS BIGINT) AS distance FROM apsp"
+    )
+
+
+# --------------------------------------------------- weighted path procedures
+DIJKSTRA_TARGET = 137
+ASTAR_TARGET = 271
+
+
+def _weighted_doc_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    e = doc_edges(spark, sf_dir).withColumn(
+        "weight", (1 + (F.col("src") + F.col("dst")) % 3).cast("double")
+    )
+    docs = load_documents(spark, sf_dir)
+    return Graph.from_edges(e, nodes=docs.select(F.col("doc_id").alias("id")))
+
+
+def q_doc_dijkstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shortestPath (Dijkstra pair 0 → target) — final cost row."""
+    from linkgraph.algorithms.paths import shortest_path
+
+    g = _weighted_doc_graph(spark, sf_dir)
+    out = shortest_path(g, 0, DIJKSTRA_TARGET)
+    return out.filter(F.col("node_id") == DIJKSTRA_TARGET).select(
+        F.lit(0).cast("long").alias("source"),
+        F.col("node_id").alias("target"),
+        F.round("cost", 5).alias("cost"),
+    )
+
+
+def sql_doc_dijkstra() -> str:
+    return sql_doc_sssp(
+        f"SELECT CAST(0 AS BIGINT) AS source, id AS target, ROUND(dist, 5) AS cost "
+        f"FROM d{{last}} WHERE id = {DIJKSTRA_TARGET} AND dist IS NOT NULL"
+    )
+
+
+def q_doc_astar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A* with a zero (all-equal-coordinate) heuristic ≡ Dijkstra cost."""
+    from linkgraph.algorithms.paths import astar
+
+    g = _weighted_doc_graph(spark, sf_dir)
+    n = load_documents(spark, sf_dir).count()
+    zeros = {i: 0.0 for i in range(int(n))}
+    out = astar(g, 0, ASTAR_TARGET, lat=zeros, lon=zeros)
+    return out.filter(F.col("node_id") == ASTAR_TARGET).select(
+        F.lit(0).cast("long").alias("source"),
+        F.col("node_id").alias("target"),
+        F.round("cost", 5).alias("cost"),
+    )
+
+
+def sql_doc_astar() -> str:
+    return sql_doc_sssp(
+        f"SELECT CAST(0 AS BIGINT) AS source, id AS target, ROUND(dist, 5) AS cost "
+        f"FROM d{{last}} WHERE id = {ASTAR_TARGET} AND dist IS NOT NULL"
+    )
+
+
+def q_doc_sssp_dijkstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shortestPaths.stream (driver Dijkstra SSSP) — same oracle as delta."""
+    from linkgraph.algorithms.paths import shortest_paths
+
+    g = _weighted_doc_graph(spark, sf_dir)
+    out = shortest_paths(g, 0)
+    return out.select("node_id", F.round("distance", 5).alias("distance"))
+
+
+# ------------------------------------------------------------- WCC threshold
+def q_doc_wcc_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.wcc import wcc
+
+    g = _weighted_doc_graph(spark, sf_dir)
+    return wcc(g, threshold=1.5).select("id", "component")
+
+
+def sql_doc_wcc_threshold() -> str:
+    parts = [_PROLOG]
+    parts.append(
+        ", wet AS MATERIALIZED (SELECT src, dst FROM edges "
+        "WHERE CAST(1 + (src + dst) % 3 AS DOUBLE) > 1.5)"
+    )
+    parts.append(
+        ", uet AS MATERIALIZED (SELECT src, dst FROM wet UNION SELECT dst, src FROM wet)"
+    )
+    parts.append(", t0 AS (SELECT doc_id AS id, doc_id AS comp FROM documents)")
+    for k in range(1, WCC_ROUNDS + 1):
+        parts.append(
+            f""", s{k} AS MATERIALIZED (
+  SELECT l.id, LEAST(l.comp, COALESCE(nm.nmin, l.comp)) AS comp
+  FROM t{k - 1} l LEFT JOIN (
+    SELECT u.dst AS id, MIN(p.comp) AS nmin FROM uet u JOIN t{k - 1} p ON u.src = p.id GROUP BY u.dst
+  ) nm ON l.id = nm.id)
+, t{k} AS MATERIALIZED (
+  SELECT m.id, COALESCE(p2.comp, m.comp) AS comp
+  FROM s{k} m LEFT JOIN s{k} p2 ON m.comp = p2.id)"""
+        )
+    parts.append(f"SELECT id, comp AS component FROM t{WCC_ROUNDS}")
+    return "\n".join(parts)
+
+
+def q_doc_wcc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.wcc import wcc, wcc_stats
+
+    comp = wcc(doc_graph(spark, sf_dir))
+    return wcc_stats(comp).select("communityCount", "maxSetSize", "minSetSize")
+
+
+def sql_doc_wcc_stats() -> str:
+    return sql_doc_wcc(
+        """SELECT COUNT(*) AS communityCount, MAX(sz) AS maxSetSize, MIN(sz) AS minSetSize
+FROM (SELECT comp, COUNT(*) AS sz FROM l{last} GROUP BY comp) t"""
+    )
+
+
+# -------------------------------------------- similarity cutoffs / global top
+def q_user_jaccard_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jaccard with degreeCutoff + similarityCutoff + topK + global top."""
+    from linkgraph.algorithms.similarity import jaccard
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return jaccard(
+        events, "user_id", "event_type",
+        top_k=5, similarity_cutoff=0.4, degree_cutoff=3, top=50,
+    ).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        "similarity",
+    )
+
+
+def sql_user_jaccard_cutoffs() -> str:
+    return """
+WITH cats0 AS MATERIALIZED (SELECT DISTINCT user_id, event_type FROM events),
+deg AS MATERIALIZED (
+  SELECT user_id, COUNT(*) AS d FROM cats0 GROUP BY user_id HAVING COUNT(*) >= 3),
+cats AS MATERIALIZED (
+  SELECT c.user_id, c.event_type FROM cats0 c JOIN deg USING (user_id)),
+inter AS (
+  SELECT x.user_id AS a, y.user_id AS b, COUNT(*) AS i
+  FROM cats x JOIN cats y ON x.event_type = y.event_type AND x.user_id <> y.user_id
+  GROUP BY x.user_id, y.user_id),
+scored AS (
+  SELECT i.a, i.b, CAST(i.i AS DOUBLE) / (da.d + db.d - i.i) AS sim
+  FROM inter i JOIN deg da ON da.user_id = i.a JOIN deg db ON db.user_id = i.b),
+cut AS (SELECT a, b, sim FROM scored WHERE sim >= 0.4),
+topk AS (
+  SELECT a, b, sim,
+         ROW_NUMBER() OVER (PARTITION BY a ORDER BY sim DESC, b ASC) AS rn
+  FROM cut),
+lim AS (
+  SELECT a, b, sim FROM topk WHERE rn <= 5
+  ORDER BY sim DESC, a ASC, b ASC LIMIT 50)
+SELECT a, b, ROUND(sim, 5) AS similarity FROM lim"""
+
+
+# ---------------------------------------------------- relationship dedup load
+def q_rel_dedup_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphLoader duplicateRelationships=sum over a multi-edge table."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = events.select(
+        F.pmod(F.col("user_id"), F.lit(50)).cast("long").alias("src"),
+        F.pmod(F.ascii(F.substring("event_type", 1, 1)), F.lit(50)).cast("long").alias("dst"),
+        F.col("value").alias("weight"),
+    )
+    g = Graph.from_edges(raw, duplicate_relationships="sum")
+    return g.edges.select("src", "dst", F.round("weight", 5).alias("weight"))
+
+
+def sql_rel_dedup_sum() -> str:
+    return """
+SELECT CAST(user_id % 50 AS BIGINT) AS src,
+       CAST(ascii(substr(event_type, 1, 1)) % 50 AS BIGINT) AS dst,
+       ROUND(SUM(value), 5) AS weight
+FROM events GROUP BY 1, 2"""
+
+
+# ------------------------------------------------------ vector similarity procs
+def _emb_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select(F.col("vec_id").alias("item"), F.col("embedding").alias("weights"))
+
+
+_EMB_V = """
+WITH v AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)
+"""
+
+
+def q_emb_cosine_procs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.vector_similarity import cosine as vcos
+
+    return vcos(_emb_items(spark, sf_dir), top_k=3, similarity_cutoff=0.1)
+
+
+def sql_emb_cosine_procs() -> str:
+    return (
+        _EMB_V
+        + """,
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         list_dot_product(a.e, b.e) /
+           GREATEST(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 1e-300) AS sim
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+cut AS (SELECT a, b, sim FROM pairs WHERE sim >= 0.1),
+ranked AS (
+  SELECT a, b, sim, ROW_NUMBER() OVER (PARTITION BY a ORDER BY sim DESC, b ASC) AS rn
+  FROM cut)
+SELECT a, b, ROUND(sim, 6) AS similarity FROM ranked WHERE rn <= 3"""
+    )
+
+
+def q_emb_euclidean_procs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.vector_similarity import euclidean as veuc
+
+    return veuc(_emb_items(spark, sf_dir), top_k=3)
+
+
+def sql_emb_euclidean_procs() -> str:
+    return (
+        _EMB_V
+        + """,
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         sqrt(GREATEST(list_dot_product(a.e, a.e) + list_dot_product(b.e, b.e)
+              - 2 * list_dot_product(a.e, b.e), 0.0)) AS dist
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT a, b, dist, ROW_NUMBER() OVER (PARTITION BY a ORDER BY dist ASC, b ASC) AS rn
+  FROM pairs)
+SELECT a, b, ROUND(dist, 6) AS similarity FROM ranked WHERE rn <= 3"""
+    )
+
+
+def q_emb_pearson_procs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.vector_similarity import pearson as vpear
+
+    return vpear(_emb_items(spark, sf_dir), top_k=3)
+
+
+def sql_emb_pearson_procs() -> str:
+    return (
+        _EMB_V
+        + """,
+c AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(e, x -> x - list_aggregate(e, 'avg')) AS ce
+  FROM v),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         list_dot_product(a.ce, b.ce) /
+           GREATEST(sqrt(list_dot_product(a.ce, a.ce)) * sqrt(list_dot_product(b.ce, b.ce)), 1e-300) AS sim
+  FROM c a JOIN c b ON a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT a, b, sim, ROW_NUMBER() OVER (PARTITION BY a ORDER BY sim DESC, b ASC) AS rn
+  FROM pairs)
+SELECT a, b, ROUND(sim, 6) AS similarity FROM ranked WHERE rn <= 3"""
+    )
+
+
+# --------------------------------------------------------- scalar function suite
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per doc exercising the scalar-function surface (§2.7):
+    jaccard/overlap/cosine/euclideanDistance/euclideanSimilarity over
+    deterministic int lists, oneHotEncoding, isFinite."""
+    from linkgraph.functions.similarities import (
+        cosine_lists,
+        euclidean_distance_lists,
+        euclidean_similarity_lists,
+        is_finite,
+        jaccard_lists,
+        one_hot_encoding,
+        overlap_lists,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    # equal-length (4-element) lists: the vector kernels require matching dims
+    a = F.sequence(
+        F.pmod(F.col("doc_id"), F.lit(7)), F.pmod(F.col("doc_id"), F.lit(7)) + 3
+    )
+    b = F.sequence(
+        F.pmod(F.col("doc_id"), F.lit(5)), F.pmod(F.col("doc_id"), F.lit(5)) + 3
+    )
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    x = F.when(F.pmod(F.col("doc_id"), F.lit(10)) == 0, F.lit(None)).otherwise(
+        F.lit(1.0) / F.col("doc_id")
+    )
+    return docs.select(
+        "doc_id",
+        F.round(jaccard_lists(a, b), 5).alias("jaccard"),
+        F.round(overlap_lists(a, b), 5).alias("overlap"),
+        F.round(cosine_lists(ad, bd), 5).alias("cosine"),
+        F.round(euclidean_distance_lists(ad, bd), 5).alias("euclid_dist"),
+        F.round(euclidean_similarity_lists(ad, bd), 5).alias("euclid_sim"),
+        F.concat_ws(",", one_hot_encoding(
+            F.sequence(F.lit(0), F.lit(4)),
+            F.array(F.pmod(F.col("doc_id"), F.lit(5))),
+        )).alias("one_hot"),
+        is_finite(x).cast("boolean").alias("finite"),
+    )
+
+
+def sql_scalar_functions() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id,
+         range(doc_id % 7, doc_id % 7 + 4) AS a,
+         range(doc_id % 5, doc_id % 5 + 4) AS b,
+         list_transform(range(doc_id % 7, doc_id % 7 + 4), x -> CAST(x AS DOUBLE)) AS ad,
+         list_transform(range(doc_id % 5, doc_id % 5 + 4), x -> CAST(x AS DOUBLE)) AS bd,
+         CASE WHEN doc_id % 10 = 0 THEN NULL ELSE 1.0 / doc_id END AS x
+  FROM documents),
+m AS (
+  SELECT doc_id, a, b, ad, bd, x,
+         len(list_intersect(a, b)) AS inter,
+         len(a) + len(b) - len(list_intersect(a, b)) AS uni,
+         list_dot_product(ad, bd) AS dot,
+         sqrt(list_dot_product(ad, ad)) AS na,
+         sqrt(list_dot_product(bd, bd)) AS nb,
+         sqrt(GREATEST(list_dot_product(ad, ad) + list_dot_product(bd, bd)
+              - 2 * list_dot_product(ad, bd), 0.0)) AS ed
+  FROM t)
+SELECT doc_id,
+       ROUND(CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END, 5) AS jaccard,
+       ROUND(CASE WHEN LEAST(len(a), len(b)) > 0
+             THEN CAST(inter AS DOUBLE) / LEAST(len(a), len(b)) ELSE 0.0 END, 5) AS overlap,
+       ROUND(CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 5) AS cosine,
+       ROUND(ed, 5) AS euclid_dist,
+       ROUND(1.0 / (1.0 + ed), 5) AS euclid_sim,
+       array_to_string(list_transform(range(0, 5),
+           v -> CASE WHEN v = doc_id % 5 THEN 1 ELSE 0 END), ',') AS one_hot,
+       CASE WHEN x IS NULL THEN false ELSE isfinite(x) END AS finite
+FROM m"""
+
+
+# ---------------------------------------------------------- sameCommunity
+def q_doc_same_community(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """linkprediction.sameCommunity over WCC labels of the doc-edge pairs."""
+    from linkgraph.algorithms.wcc import wcc
+    from linkgraph.functions.linkprediction import same_community
+
+    g = doc_graph(spark, sf_dir)
+    comp = wcc(g)
+    e = g.edges.select("src", "dst")
+    la = comp.select(F.col("id").alias("src"), F.col("component").alias("ca"))
+    lb = comp.select(F.col("id").alias("dst"), F.col("component").alias("cb"))
+    pairs = e.join(la, "src").join(lb, "dst")
+    return same_community(pairs, "ca", "cb").select("src", "dst", "same_community")
+
+
+def sql_doc_same_community() -> str:
+    return sql_doc_wcc(
+        """SELECT e.src, e.dst,
+       CASE WHEN la.comp = lb.comp THEN 1.0 ELSE 0.0 END AS same_community
+FROM edges e JOIN l{last} la ON e.src = la.id JOIN l{last} lb ON e.dst = lb.id"""
+    )
+
+
+# ---------------------------------------------------------- weighted degrees
+def q_doc_degree_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _weighted_doc_graph(spark, sf_dir)
+    out_w = g.degrees(direction="OUTGOING", weighted=True).select(
+        "id", F.round("degree", 5).alias("out_weighted")
+    )
+    both_w = g.degrees(direction="BOTH", weighted=True).select(
+        "id", F.round("degree", 5).alias("both_weighted")
+    )
+    return out_w.join(both_w, "id")
+
+
+def sql_doc_degree_weighted() -> str:
+    return (
+        _PROLOG
+        + """, we AS MATERIALIZED (SELECT src, dst,
+    CAST(1 + (src + dst) % 3 AS DOUBLE) AS w FROM edges)
+, uw AS MATERIALIZED (
+  SELECT src, dst, MAX(w) AS w FROM (
+    SELECT src, dst, w FROM we UNION ALL SELECT dst, src, w FROM we) t
+  GROUP BY src, dst)
+SELECT n.id,
+       ROUND(COALESCE(o.s, 0.0), 5) AS out_weighted,
+       ROUND(COALESCE(bb.s, 0.0), 5) AS both_weighted
+FROM nodes n
+LEFT JOIN (SELECT src, SUM(w) AS s FROM we GROUP BY src) o ON n.id = o.src
+LEFT JOIN (SELECT src, SUM(w) AS s FROM uw GROUP BY src) bb ON n.id = bb.src"""
+    )
+
+
+# ---------------------------------------------------------- triangle stream
+def q_doc_triangle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.triangles import triangle_stream
+
+    return triangle_stream(doc_graph(spark, sf_dir))
+
+
+def sql_doc_triangle_stream() -> str:
+    return (
+        _PROLOG
+        + """SELECT e1.a AS a, e1.b AS b, e2.b AS c
+FROM ce e1 JOIN ce e2 ON e1.a = e2.a AND e1.b < e2.b
+JOIN ce e3 ON e3.a = e1.b AND e3.b = e2.b"""
+    )
+
+
+# ---------------------------------------------------------- pagerank pull path
+def q_doc_pagerank_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same PageRank, pull/CSC strategy — validates the zero-shuffle path
+    against the identical oracle as doc_pagerank."""
+    from linkgraph.algorithms.pagerank import PageRank
+
+    g = doc_graph(spark, sf_dir)
+    ranks = PageRank(damping=DAMPING, max_iterations=PR_ITERS, strategy="pull").run(g)
+    return ranks.select("id", F.round("rank", 5).alias("rank"))
+
+
+# ------------------------------------------------------------ rows-only extras
+def q_doc_yen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.paths import yens_k_shortest_paths
+
+    g = _weighted_doc_graph(spark, sf_dir)
+    return yens_k_shortest_paths(g, 0, DIJKSTRA_TARGET, k=3)
+
+
+def q_doc_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.paths import dfs
+
+    g = doc_graph(spark, sf_dir)
+    return dfs(g, 0)
+
+
+def q_doc_spanning_tree_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.paths import minimum_spanning_forest
+
+    g = _weighted_doc_graph(spark, sf_dir)
+    return minimum_spanning_forest(g, maximum=True)
+
+
+def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.pipeline.dedup import simhash_candidates
+
+    return simhash_candidates(load_documents(spark, sf_dir), max_hamming=7)
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.pipeline.dedup import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_duplicates(emb)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.pipeline.multimodal import frame_sample, synthesize_media
+
+    return frame_sample(synthesize_media(spark, n=32))
+
+
 QUERIES = {
     "doc_pagerank": q_doc_pagerank,
     "doc_pagerank_weighted": q_doc_pagerank_weighted,
     "doc_pagerank_personalized": q_doc_pagerank_personalized,
+    "doc_pagerank_pull": q_doc_pagerank_pull,
     "doc_article_rank": q_doc_article_rank,
     "doc_eigenvector": q_doc_eigenvector,
     "doc_sssp": q_doc_sssp,
+    "doc_sssp_dijkstra": q_doc_sssp_dijkstra,
+    "doc_dijkstra": q_doc_dijkstra,
+    "doc_astar": q_doc_astar,
     "doc_bfs": q_doc_bfs,
     "user_overlap_topk": q_user_overlap_topk,
+    "user_jaccard_cutoffs": q_user_jaccard_cutoffs,
     "doc_wcc": q_doc_wcc,
     "doc_wcc_sizes": q_doc_wcc_sizes,
+    "doc_wcc_threshold": q_doc_wcc_threshold,
+    "doc_wcc_stats": q_doc_wcc_stats,
     "doc_lpa": q_doc_lpa,
     "doc_triangles": q_doc_triangles,
     "doc_triangle_global": q_doc_triangle_global,
+    "doc_triangle_stream": q_doc_triangle_stream,
     "doc_degree": q_doc_degree,
+    "doc_degree_weighted": q_doc_degree_weighted,
     "doc_linkpred": q_doc_linkpred,
+    "doc_same_community": q_doc_same_community,
     "user_jaccard_topk": q_user_jaccard_topk,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
@@ -808,37 +1387,60 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "near_dup_jaccard": q_near_dup_jaccard,
     "emb_cosine_topk": q_emb_cosine_topk,
-    # rows-only (no SQL-expressible oracle: hashing/UDF/iterative-internal)
+    "emb_cosine_procs": q_emb_cosine_procs,
+    "emb_euclidean_procs": q_emb_euclidean_procs,
+    "emb_pearson_procs": q_emb_pearson_procs,
+    "scalar_functions": q_scalar_functions,
+    "rel_dedup_sum": q_rel_dedup_sum,
     "doc_closeness": q_doc_closeness,
     "doc_harmonic": q_doc_harmonic,
+    "doc_dangalchev": q_doc_dangalchev,
+    "doc_allsp": q_doc_allsp,
+    "doc_scc": q_doc_scc,
+    # rows-only (no SQL-expressible oracle: hashing/UDF/iterative-internal)
     "doc_betweenness": q_doc_betweenness,
     "doc_louvain": q_doc_louvain,
-    "doc_scc": q_doc_scc,
     "doc_random_walks": q_doc_random_walks,
     "doc_mst": q_doc_mst,
+    "doc_spanning_tree_max": q_doc_spanning_tree_max,
+    "doc_yen": q_doc_yen,
+    "doc_dfs": q_doc_dfs,
     "doc_balanced_triads": q_doc_balanced_triads,
     "minhash_lsh_candidates": q_minhash_lsh,
     "simhash": q_simhash,
+    "simhash_candidates": q_simhash_candidates,
     "emb_cosine_ivf": q_emb_cosine_ivf,
+    "emb_near_dup": q_emb_near_dup,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
 }
 
 ORACLES = {
     "doc_pagerank": sql_doc_pagerank(),
     "doc_pagerank_weighted": sql_doc_pagerank_weighted(),
     "doc_pagerank_personalized": sql_doc_pagerank_personalized(),
+    "doc_pagerank_pull": sql_doc_pagerank(),
     "doc_article_rank": sql_doc_article_rank(),
     "doc_eigenvector": sql_doc_eigenvector(),
     "doc_sssp": sql_doc_sssp(),
+    "doc_sssp_dijkstra": sql_doc_sssp(),
+    "doc_dijkstra": sql_doc_dijkstra(),
+    "doc_astar": sql_doc_astar(),
     "doc_bfs": sql_doc_bfs(),
     "user_overlap_topk": sql_user_overlap_topk(),
+    "user_jaccard_cutoffs": sql_user_jaccard_cutoffs(),
     "doc_wcc": sql_doc_wcc(),
     "doc_wcc_sizes": sql_doc_wcc_sizes(),
+    "doc_wcc_threshold": sql_doc_wcc_threshold(),
+    "doc_wcc_stats": sql_doc_wcc_stats(),
     "doc_lpa": sql_doc_lpa(),
     "doc_triangles": sql_doc_triangles(),
     "doc_triangle_global": sql_doc_triangle_global(),
+    "doc_triangle_stream": sql_doc_triangle_stream(),
     "doc_degree": sql_doc_degree(),
+    "doc_degree_weighted": sql_doc_degree_weighted(),
     "doc_linkpred": sql_doc_linkpred(),
+    "doc_same_community": sql_doc_same_community(),
     "user_jaccard_topk": sql_user_jaccard_topk(),
     "dedup_exact": sql_dedup_exact(),
     "token_stats": sql_token_stats(),
@@ -847,4 +1449,14 @@ ORACLES = {
     "fingerprint": sql_fingerprint(),
     "near_dup_jaccard": sql_near_dup_jaccard(),
     "emb_cosine_topk": sql_emb_cosine_topk(),
+    "emb_cosine_procs": sql_emb_cosine_procs(),
+    "emb_euclidean_procs": sql_emb_euclidean_procs(),
+    "emb_pearson_procs": sql_emb_pearson_procs(),
+    "scalar_functions": sql_scalar_functions(),
+    "rel_dedup_sum": sql_rel_dedup_sum(),
+    "doc_closeness": sql_doc_closeness(),
+    "doc_harmonic": sql_doc_harmonic(),
+    "doc_dangalchev": sql_doc_dangalchev(),
+    "doc_allsp": sql_doc_allsp(),
+    "doc_scc": sql_doc_scc(),
 }

@@ -105,3 +105,65 @@ def np_triangles(edges: list[tuple[int, int, float]], ids: list[int]):
         deg = len(adj[v])
         coef[v] = 2.0 * tri[v] / (deg * (deg - 1)) if deg >= 2 else 0.0
     return tri, coef
+
+
+def np_betweenness(edge_pairs, ids):
+    """Independent Brandes oracle (Brandes 2001, per-source BFS), undirected.
+
+    edge_pairs: iterable of (src, dst) — one row per undirected edge.
+    Returns {id: centrality} with the undirected 1/2 factor applied.
+    """
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    for s, d in edge_pairs:
+        adj[s].append(d)
+        adj[d].append(s)
+    cb = {v: 0.0 for v in ids}
+    for s in ids:
+        stack = []
+        preds = defaultdict(list)
+        sigma = defaultdict(float)
+        sigma[s] = 1.0
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            stack.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = defaultdict(float)
+        while stack:
+            w = stack.pop()
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                cb[w] += delta[w]
+    return {v: cb[v] * 0.5 for v in ids}
+
+
+def np_kruskal_weight(edge_triples, maximum=False):
+    """Independent Kruskal oracle → (total_weight, edge_count) of the
+    min/max spanning forest over canonical undirected edges."""
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    edges = sorted(edge_triples, key=lambda t: (-t[2] if maximum else t[2], t[0], t[1]))
+    total, cnt = 0.0, 0
+    for s, d, w in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+            total += w
+            cnt += 1
+    return total, cnt

@@ -273,3 +273,40 @@ def test_louvain_contract_query_fast():
     n = out.count()
     assert n == 500
     assert time.time() - t0 < 60
+
+
+def test_betweenness_doc_graph_vs_numpy_oracle(spark):
+    """Exact Brandes on the real sf0.001 doc graph vs an independent pure-
+    python Brandes oracle — value-level check, not rows-only."""
+    import pytest as _pytest
+
+    from linkgraph.queries import doc_graph
+    from tests.oracles import np_betweenness
+
+    g = doc_graph(spark, "/root/testdata/sf0.001")
+    got = {r["id"]: r["centrality"]
+           for r in betweenness_centrality(g, direction="BOTH").collect()}
+    pairs = [(r["src"], r["dst"]) for r in g.canonical_edges().collect()]
+    ids = [r["id"] for r in g.nodes.collect()]
+    want = np_betweenness(pairs, ids)
+    assert len(got) == len(want)
+    for i in ids:
+        assert got[i] == _pytest.approx(want[i], rel=1e-9, abs=1e-9)
+
+
+def test_mst_doc_graph_vs_kruskal(spark):
+    """Borůvka forest total weight == independent Kruskal on the real
+    sf0.001 weighted doc graph (min and max variants)."""
+    import pytest as _pytest
+
+    from linkgraph.algorithms.paths import minimum_spanning_forest
+    from linkgraph.queries import _weighted_doc_graph
+    from tests.oracles import np_kruskal_weight
+
+    g = _weighted_doc_graph(spark, "/root/testdata/sf0.001")
+    triples = [(r["src"], r["dst"], r["weight"]) for r in g.canonical_edges().collect()]
+    for maximum in (False, True):
+        got = minimum_spanning_forest(g, maximum=maximum).collect()
+        want_w, want_n = np_kruskal_weight(triples, maximum=maximum)
+        assert len(got) == want_n
+        assert sum(r["weight"] for r in got) == _pytest.approx(want_w)

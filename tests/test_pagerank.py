@@ -109,7 +109,8 @@ def test_article_rank_matches_oracle(spark):
     outdeg = np.zeros(N)
     for s, d in G_PR:
         outdeg[s] += 1
-    avg = outdeg[outdeg > 0].mean()
+    # reference semantics: averageDegree = relationshipCount / nodeCount
+    avg = outdeg.sum() / N
     p = np.ones(N)
     for _ in range(20):
         c = np.zeros(N)

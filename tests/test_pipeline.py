@@ -1,0 +1,216 @@
+"""Pipeline-operator tests: dedup (exact/jaccard/minhash/simhash/embedding),
+ANN (brute-force + IVF), text stats, multimodal plumbing — value-level
+checks against independent numpy/python oracles."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+    "the quick brown fox leaps over the lazy dog",   # near dup (1 token)
+    "completely different words entirely here now",
+    "the quick brown fox jumps over a lazy dog",     # near dup (1 token)
+    "lorem ipsum dolor sit amet consectetur",
+]
+
+
+def test_exact_duplicates(spark):
+    from linkgraph.pipeline.dedup import exact_duplicates
+
+    out = exact_duplicates(_docs(spark, TEXTS)).collect()
+    groups = {r["text_hash"]: (r["cnt"], r["rep_id"]) for r in out}
+    assert len(groups) == 5  # 6 docs, one exact pair
+    assert (2, 0) in groups.values()
+
+
+def _brute_jaccard(texts, threshold):
+    sets = [set(t.split(" ")) for t in texts]
+    out = {}
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            uni = len(sets[i] | sets[j])
+            jac = inter / uni if uni else 0.0
+            if round(jac, 5) >= threshold:
+                out[(i, j)] = round(jac, 5)
+    return out
+
+
+def test_token_jaccard_pairs_vs_bruteforce(spark):
+    from linkgraph.pipeline.dedup import token_jaccard_pairs
+
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in token_jaccard_pairs(_docs(spark, TEXTS), threshold=0.5).collect()
+    }
+    assert got == _brute_jaccard(TEXTS, 0.5)
+
+
+def test_token_jaccard_max_doc_freq_prunes_stopwords(spark):
+    from linkgraph.pipeline.dedup import token_jaccard_pairs
+
+    # 'the' appears in 5 docs; with max_doc_freq=4 it can't generate pairs,
+    # but near-dup pairs still surface through their rarer shared tokens
+    got = token_jaccard_pairs(
+        _docs(spark, TEXTS), threshold=0.5, max_doc_freq=4
+    ).collect()
+    pairs = {(r["a"], r["b"]) for r in got}
+    assert (0, 1) in pairs and (0, 2) in pairs
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    from linkgraph.pipeline.dedup import minhash_signatures
+
+    sigs = {r["doc_id"]: list(r["sig"]) for r in
+            minhash_signatures(_docs(spark, TEXTS), num_hashes=32).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+    # MinHash estimate ≈ true Jaccard for the near-dup pair (8/10 tokens)
+    est = np.mean(np.array(sigs[0]) == np.array(sigs[2]))
+    assert est > 0.4
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from linkgraph.pipeline.dedup import minhash_lsh_candidates
+
+    cands = {(r["a"], r["b"]) for r in
+             minhash_lsh_candidates(_docs(spark, TEXTS), num_hashes=64, bands=32).collect()}
+    assert (0, 1) in cands      # exact dup always collides
+    assert (0, 2) in cands      # near dup collides with 32 bands
+    assert (3, 5) not in cands  # disjoint docs don't
+
+
+def test_simhash_identity_and_locality(spark):
+    from linkgraph.pipeline.dedup import simhash64
+
+    h = {r["doc_id"]: r["simhash"] for r in simhash64(_docs(spark, TEXTS)).collect()}
+    assert h[0] == h[1]
+    ham_near = bin((h[0] ^ h[2]) & (2**64 - 1)).count("1")
+    ham_far = bin((h[0] ^ h[3]) & (2**64 - 1)).count("1")
+    assert ham_near < ham_far
+
+
+def test_simhash_candidates_hamming_ball(spark):
+    from linkgraph.pipeline.dedup import simhash64, simhash_candidates
+
+    h = {r["doc_id"]: r["simhash"] for r in simhash64(_docs(spark, TEXTS)).collect()}
+    k = 16
+    want = set()
+    for i in range(len(TEXTS)):
+        for j in range(i + 1, len(TEXTS)):
+            if bin((h[i] ^ h[j]) & (2**64 - 1)).count("1") <= k:
+                want.add((i, j))
+    got = {(r["a"], r["b"]) for r in
+           simhash_candidates(_docs(spark, TEXTS), max_hamming=k).collect()}
+    # block-permutation LSH guarantees recall only for hamming ≤ nblocks-1
+    # spread evenly; with k=16 and 17 blocks of <4 bits recall is exact here
+    assert got == want
+
+
+def test_embedding_near_duplicates(spark):
+    from linkgraph.pipeline.dedup import embedding_near_duplicates
+
+    rng = np.random.RandomState(0)
+    base = rng.normal(size=16)
+    rows = [
+        (0, (base / np.linalg.norm(base)).tolist()),
+        (1, (base / np.linalg.norm(base)).tolist()),           # identical
+        (2, ((base + 0.01 * rng.normal(size=16)) / 1.0).tolist()),  # near dup
+        (3, rng.normal(size=16).tolist()),                     # unrelated
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["a"], r["b"]): r["cosine"]
+           for r in embedding_near_duplicates(emb, threshold=0.98).collect()}
+    assert (0, 1) in got and got[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in got
+    assert all(3 not in pair for pair in got)
+
+
+def test_pearson_lists_vs_numpy(spark):
+    from linkgraph.functions.similarities import pearson_lists
+
+    rng = np.random.RandomState(1)
+    rows = [(i, rng.normal(size=8).tolist(), rng.normal(size=8).tolist())
+            for i in range(20)]
+    rows.append((20, [1.0, 1.0, 1.0], [2.0, 3.0, 4.0]))  # zero variance → 0
+    rows.append((21, [], []))                            # empty → 0
+    df = spark.createDataFrame(rows, "i long, a array<double>, b array<double>")
+    got = {r["i"]: r["p"] for r in
+           df.select("i", pearson_lists("a", "b").alias("p")).collect()}
+    for i, a, b in rows[:20]:
+        assert got[i] == pytest.approx(float(np.corrcoef(a, b)[0, 1]), abs=1e-9)
+    assert got[20] == 0.0 and got[21] == 0.0
+
+
+def test_ann_bruteforce_vs_numpy(spark):
+    from linkgraph.pipeline.ann import cosine_topk_bruteforce
+
+    rng = np.random.RandomState(2)
+    mat = rng.normal(size=(30, 8))
+    emb = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(30)], "vec_id long, embedding array<double>"
+    )
+    got = {}
+    for r in cosine_topk_bruteforce(emb.filter(F.col("vec_id") < 5), emb, k=3).collect():
+        got.setdefault(r["a"], []).append(r["b"])
+    norms = np.linalg.norm(mat, axis=1)
+    sims = np.round((mat @ mat.T) / np.outer(norms, norms), 4)
+    for a in range(5):
+        order = sorted((-(sims[a, b]), b) for b in range(30) if b != a)[:3]
+        assert got[a] == [b for _, b in order]
+
+
+def test_ann_ivf_recall(spark):
+    from linkgraph.pipeline.ann import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(3)
+    # 4 well-separated clusters
+    centers = rng.normal(size=(4, 8)) * 5
+    mat = np.vstack([c + rng.normal(size=(25, 8)) * 0.3 for c in centers])
+    emb = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(100)], "vec_id long, embedding array<double>"
+    )
+    cent = train_ivf_centroids(emb, num_cells=4, max_sample=1000)
+    assert cent.shape == (4, 8)
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["a"], r["b"]) for r in cosine_topk_bruteforce(q, emb, k=3).collect()}
+    approx = {(r["a"], r["b"]) for r in cosine_topk_ivf(q, emb, cent, k=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9
+
+
+def test_multimodal_plumbing(spark):
+    from linkgraph.pipeline.multimodal import extract_features, frame_sample, synthesize_media
+
+    media = synthesize_media(spark, n=16)
+    feats = extract_features(media)
+    assert feats.count() == 16
+    cols = set(feats.columns)
+    assert {"media_id", "kind"} <= cols
+    frames = frame_sample(media)
+    assert frames.count() > 0
+
+
+def test_text_ops_schema(spark):
+    from linkgraph.pipeline.text import fingerprint, language_id, quality_scores, token_stats
+
+    docs = _docs(spark, TEXTS)
+    assert token_stats(docs).count() == 6
+    assert quality_scores(docs).count() == 6
+    assert language_id(docs).count() == 6
+    fp = fingerprint(docs).collect()
+    assert len({r["fp16"] for r in fp}) == 5  # exact dups share a fingerprint
