@@ -1,0 +1,187 @@
+"""InfoMap community detection — `algo.infoMap`.
+
+Reference: `algo/src/main/java/org/neo4j/graphalgo/impl/infomap/InfoMap.java`
+(two-level map equation, Rosvall & Bergstrom PNAS'08) — there a
+single-threaded greedy optimizer over PageRank visit rates.
+
+Spark split: the flow distribution (PageRank visit rates) is computed with
+the DISTRIBUTED PageRank engine — that's the part that touches every edge
+at full scale. The greedy module optimization runs on the driver over the
+collected (edge, rate) arrays, exactly like the reference's single-threaded
+optimizer; a size guard raises above ``driver_threshold`` edges (coarsen
+with Louvain/LPA first, or sample — the reference has the same practical
+bound, it just OOMs instead of raising).
+
+Map equation (natural-log variant, two-level, no teleport recording):
+
+    L(M) = plogp(q) − 2·Σ_m plogp(q_m) − Σ_i plogp(p_i)
+           + Σ_m plogp(q_m + p_m)
+
+with p_i = visit rate, t_ij = w_ij / W_i, q_m = Σ_{i∈m, j∉m} p_i·t_ij,
+p_m = Σ_{i∈m} p_i, q = Σ_m q_m.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, functions as F
+
+from linkgraph.graph import Graph
+
+DRIVER_EDGE_THRESHOLD = 2_000_000
+
+
+def _plogp(x):
+    x = np.asarray(x, dtype=np.float64)
+    out = np.zeros_like(x)
+    pos = x > 0
+    out[pos] = x[pos] * np.log(x[pos])
+    return out
+
+
+def _codelength(q_mod, p_mod, p_node):
+    q = q_mod.sum()
+    return (
+        _plogp(np.array([q]))[0]
+        - 2.0 * _plogp(q_mod).sum()
+        - _plogp(p_node).sum()
+        + _plogp(q_mod + p_mod).sum()
+    )
+
+
+def infomap(
+    graph: Graph,
+    pr_iterations: int = 30,
+    max_sweeps: int = 20,
+    damping: float = 0.85,
+    weighted: bool = True,
+    driver_threshold: int = DRIVER_EDGE_THRESHOLD,
+) -> DataFrame:
+    """→ (id, community) [+ .codelength]. Deterministic greedy sweeps in
+    ascending node-id order (the reference shuffles; we don't, for
+    reproducibility), modules labeled by min member id."""
+    from linkgraph.algorithms.pagerank import PageRank
+
+    n_edges = graph.edges.count()
+    if n_edges > driver_threshold:
+        raise ValueError(
+            f"infomap greedy phase is driver-side (as in the reference); "
+            f"{n_edges} edges > {driver_threshold}. Coarsen first (louvain/"
+            f"lpa) or raise driver_threshold explicitly."
+        )
+    # flow: distributed PageRank visit rates, normalized to Σp = 1
+    ranks = PageRank(
+        damping=damping, max_iterations=pr_iterations, weighted=weighted
+    ).run(graph)
+    rpdf = ranks.select("id", "rank").toPandas()
+    epdf = graph.edges.filter(F.col("src") != F.col("dst")).select(
+        "src", "dst", "weight"
+    ).toPandas()
+
+    ids = rpdf["id"].to_numpy(np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    p = rpdf["rank"].to_numpy(np.float64)[order]
+    p = p / p.sum()
+    n = len(ids)
+    src = np.searchsorted(ids, epdf["src"].to_numpy(np.int64))
+    dst = np.searchsorted(ids, epdf["dst"].to_numpy(np.int64))
+    w = epdf["weight"].to_numpy(np.float64)
+    wsum = np.bincount(src, weights=w, minlength=n)
+    t = w / np.maximum(wsum[src], 1e-300)  # transition prob of each edge
+    flow = p[src] * t                      # stationary flow on each edge
+
+    # adjacency (out- and in-) as index lists for per-node module flows
+    out_order = np.argsort(src, kind="stable")
+    out_ptr = np.concatenate(([0], np.cumsum(np.bincount(src, minlength=n))))
+    out_idx = out_order
+    in_order = np.argsort(dst, kind="stable")
+    in_ptr = np.concatenate(([0], np.cumsum(np.bincount(dst, minlength=n))))
+    in_idx = in_order
+
+    module = np.arange(n, dtype=np.int64)
+    p_mod = p.copy()
+    # q_m init: every node its own module → exit = all outgoing flow
+    node_out_flow = np.bincount(src, weights=flow, minlength=n)
+    q_mod = node_out_flow.copy()
+
+    def node_module_flows(i):
+        """(modules, out_flow_to_module, in_flow_from_module) over i's nbrs."""
+        oe = out_idx[out_ptr[i]:out_ptr[i + 1]]
+        ie = in_idx[in_ptr[i]:in_ptr[i + 1]]
+        mods = np.concatenate([module[dst[oe]], module[src[ie]]])
+        of = np.concatenate([flow[oe], np.zeros(len(ie))])
+        inf_ = np.concatenate([np.zeros(len(oe)), flow[ie]])
+        um, inv = np.unique(mods, return_inverse=True)
+        return um, np.bincount(inv, weights=of), np.bincount(inv, weights=inf_)
+
+    for _ in range(max_sweeps):
+        moved = 0
+        for i in range(n):
+            cur = module[i]
+            um, of, inf_ = node_module_flows(i)
+            if len(um) == 0:
+                continue
+            self_pos = np.searchsorted(um, cur)
+            of_cur = of[self_pos] if self_pos < len(um) and um[self_pos] == cur else 0.0
+            in_cur = inf_[self_pos] if self_pos < len(um) and um[self_pos] == cur else 0.0
+            # removing i from cur: its out/in flow to cur-members becomes exit
+            q_cur_without = q_mod[cur] - node_out_flow[i] + of_cur + in_cur
+            best_gain, best_mod = 0.0, cur
+            for k in range(len(um)):
+                m = um[k]
+                if m == cur:
+                    continue
+                # ΔL of moving i: recompute the 4 affected plogp terms
+                old_terms = (
+                    _plogp(np.array([q_mod[cur], q_mod[m]])).sum() * -2.0
+                    + _plogp(np.array([q_mod[cur] + p_mod[cur], q_mod[m] + p_mod[m]])).sum()
+                )
+                q_cur_new = q_cur_without
+                q_m_new = q_mod[m] + node_out_flow[i] - of[k] - inf_[k]
+                p_cur_new = p_mod[cur] - p[i]
+                p_m_new = p_mod[m] + p[i]
+                new_terms = (
+                    _plogp(np.array([q_cur_new, q_m_new])).sum() * -2.0
+                    + _plogp(np.array([q_cur_new + p_cur_new, q_m_new + p_m_new])).sum()
+                )
+                dq = (q_cur_new + q_m_new) - (q_mod[cur] + q_mod[m])
+                q_old_tot = q_mod.sum()
+                d_total = _plogp(np.array([q_old_tot + dq]))[0] - _plogp(
+                    np.array([q_old_tot])
+                )[0]
+                gain = (new_terms - old_terms) + d_total
+                if gain < best_gain - 1e-12 or (
+                    abs(gain - best_gain) <= 1e-12 and best_mod != cur and m < best_mod
+                ):
+                    best_gain, best_mod = gain, m
+            if best_mod != cur:
+                k = int(np.searchsorted(um, best_mod))
+                q_mod[cur] = q_cur_without
+                q_mod[best_mod] += node_out_flow[i] - of[k] - inf_[k]
+                p_mod[cur] -= p[i]
+                p_mod[best_mod] += p[i]
+                module[i] = best_mod
+                moved += 1
+        if moved == 0:
+            break
+
+    # canonical labels: min member ORIGINAL id per module
+    rep = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(rep, module, ids)
+    labels = rep[module]
+    used = np.unique(module)
+    code = _codelength(q_mod[used], p_mod[used], p)
+    spark = graph.nodes.sparkSession
+    import pandas as pd
+
+    out = spark.createDataFrame(pd.DataFrame({"id": ids, "community": labels}))
+    # isolated nodes keep their own id
+    out = (
+        graph.nodes.select("id")
+        .join(out, "id", "left")
+        .select("id", F.coalesce("community", "id").alias("community"))
+    )
+    out.codelength = float(code)
+    return out

@@ -426,3 +426,23 @@ def minimum_spanning_forest(graph: Graph, maximum: bool = False) -> DataFrame:
     if forest is None:
         return spark.createDataFrame([], "src long, dst long, weight double")
     return forest
+
+
+def k_spanning_tree(graph: Graph, k: int, maximum: bool = False) -> DataFrame:
+    """`algo.spanningTree.k{min,max}` → (id, cluster).
+
+    Reference `impl/spanningTrees/KSpanningTree.java`: build the min (max)
+    spanning tree, cut the k−1 heaviest (lightest) tree edges, label the
+    resulting k clusters. Cluster id = min member id (via hash-min WCC on
+    the kept tree edges — all DataFrame ops).
+    """
+    from linkgraph.algorithms.wcc import wcc as _wcc
+
+    forest = minimum_spanning_forest(graph, maximum=maximum).persist()
+    order = F.asc("weight") if maximum else F.desc("weight")
+    cuts = forest.orderBy(order, F.asc("src"), F.asc("dst")).limit(max(k - 1, 0))
+    kept = forest.join(cuts, ["src", "dst"], "left_anti")
+    g2 = Graph.from_edges(kept, nodes=graph.nodes.select("id"))
+    out = _wcc(g2).select("id", F.col("component").alias("cluster"))
+    forest.unpersist()
+    return out

@@ -30,7 +30,16 @@ def _pairwise(
     top: int | None,
     item_col: str,
     vector_col: str,
+    max_broadcast_items: int = 1_000_000,
 ) -> DataFrame:
+    n_items = items.count()
+    if n_items > max_broadcast_items:
+        raise ValueError(
+            f"dense vector-similarity broadcasts the whole item matrix "
+            f"({n_items} rows > {max_broadcast_items}); use "
+            f"cosine_sparse/pearson_sparse/euclidean_sparse (inverted-index, "
+            f"no collect) or LSH-bucket first (pipeline.dedup/ann)"
+        )
     rows = items.select(item_col, vector_col).collect()
     ids = np.array([r[item_col] for r in rows], dtype=np.int64)
     mat = np.array([list(map(float, r[vector_col])) for r in rows], dtype=np.float64)
@@ -96,18 +105,172 @@ def _pairwise(
 
 def cosine(items: DataFrame, item_col: str = "item", vector_col: str = "weights",
            top_k: int | None = None, similarity_cutoff: float | None = None,
-           top: int | None = None) -> DataFrame:
-    return _pairwise(items, "cosine", top_k, similarity_cutoff, top, item_col, vector_col)
+           top: int | None = None, max_broadcast_items: int = 1_000_000) -> DataFrame:
+    return _pairwise(items, "cosine", top_k, similarity_cutoff, top, item_col, vector_col, max_broadcast_items)
 
 
 def pearson(items: DataFrame, item_col: str = "item", vector_col: str = "weights",
             top_k: int | None = None, similarity_cutoff: float | None = None,
-            top: int | None = None) -> DataFrame:
-    return _pairwise(items, "pearson", top_k, similarity_cutoff, top, item_col, vector_col)
+            top: int | None = None, max_broadcast_items: int = 1_000_000) -> DataFrame:
+    return _pairwise(items, "pearson", top_k, similarity_cutoff, top, item_col, vector_col, max_broadcast_items)
 
 
 def euclidean(items: DataFrame, item_col: str = "item", vector_col: str = "weights",
               top_k: int | None = None, similarity_cutoff: float | None = None,
-              top: int | None = None) -> DataFrame:
+              top: int | None = None, max_broadcast_items: int = 1_000_000) -> DataFrame:
     """Euclidean DISTANCE pairs (smaller = more similar), as in the reference."""
-    return _pairwise(items, "euclidean", top_k, similarity_cutoff, top, item_col, vector_col)
+    return _pairwise(items, "euclidean", top_k, similarity_cutoff, top, item_col, vector_col, max_broadcast_items)
+
+
+# ---------------------------------------------------------------- sparse path
+def _sparse_stats(df: DataFrame, item_col: str, category_col: str, weight_col: str):
+    """(rows, per-item stats) for the inverted-index kernels.
+
+    rows: (item, cat, w) deduped; stats: (item, s=Σw, q=Σw², nnz)."""
+    rows = (
+        df.select(
+            F.col(item_col).alias("item"),
+            F.col(category_col).alias("cat"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
+        .groupBy("item", "cat")
+        .agg(F.sum("w").alias("w"))
+    )
+    stats = rows.groupBy("item").agg(
+        F.sum("w").alias("s"),
+        F.sum(F.col("w") * F.col("w")).alias("q"),
+        F.count(F.lit(1)).alias("nnz"),
+    )
+    return rows, stats
+
+
+def _sparse_pairwise(
+    df: DataFrame,
+    metric: str,
+    item_col: str,
+    category_col: str,
+    weight_col: str,
+    top_k: int | None,
+    similarity_cutoff: float | None,
+    top: int | None,
+) -> DataFrame:
+    """Inverted-index (no broadcast, no collect) sparse similarity.
+
+    The pair space is generated by an equi-join on the shared category —
+    cost Σ_cat df(cat)², the 100 TB-safe shape (cf. SimilarityProc's
+    all-pairs loops, which assume one machine). Missing categories are
+    treated as weight 0 over the GLOBAL category universe C, so cosine /
+    pearson / euclidean match the dense semantics exactly for pairs that
+    share ≥ 1 category; pairs sharing none are omitted (their cosine is 0;
+    euclidean/pearson callers needing them should use the dense path).
+    """
+    rows, stats = _sparse_stats(df, item_col, category_col, weight_col)
+    rows = rows.persist()
+    n_cats = rows.select("cat").distinct().count()
+    a = rows.select(F.col("item").alias("a"), "cat", F.col("w").alias("wa"))
+    b = rows.select(F.col("item").alias("b"), "cat", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "cat")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    sa = stats.select(
+        F.col("item").alias("a"), F.col("s").alias("s_a"), F.col("q").alias("q_a")
+    )
+    sb = stats.select(
+        F.col("item").alias("b"), F.col("s").alias("s_b"), F.col("q").alias("q_b")
+    )
+    j = dots.join(sa, "a").join(sb, "b")
+    if metric == "cosine":
+        sim = F.col("dot") / F.greatest(
+            F.sqrt(F.col("q_a")) * F.sqrt(F.col("q_b")), F.lit(1e-300)
+        )
+    elif metric == "pearson":
+        # centered over the global C-dim space from sparse aggregates:
+        # cov = dot − (s_a·s_b)/C ; var_i = q_i − s_i²/C
+        c = float(max(n_cats, 1))
+        cov = F.col("dot") - F.col("s_a") * F.col("s_b") / F.lit(c)
+        va = F.col("q_a") - F.col("s_a") * F.col("s_a") / F.lit(c)
+        vb = F.col("q_b") - F.col("s_b") * F.col("s_b") / F.lit(c)
+        sim = cov / F.greatest(F.sqrt(va) * F.sqrt(vb), F.lit(1e-300))
+    else:  # euclidean distance
+        sim = F.sqrt(
+            F.greatest(F.col("q_a") + F.col("q_b") - 2.0 * F.col("dot"), F.lit(0.0))
+        )
+    scored = j.select("a", "b", sim.alias("similarity"))
+    asc = metric == "euclidean"
+    if similarity_cutoff is not None:
+        scored = scored.filter(
+            F.col("similarity") <= similarity_cutoff
+            if asc
+            else F.col("similarity") >= similarity_cutoff
+        )
+    order = F.asc("similarity") if asc else F.desc("similarity")
+    if top_k is not None:
+        win = Window.partitionBy("a").orderBy(order, F.asc("b"))
+        scored = (
+            scored.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") <= top_k)
+            .drop("_rn")
+        )
+    if top is not None:
+        scored = scored.orderBy(order, F.asc("a"), F.asc("b")).limit(top)
+    return scored.select("a", "b", F.round("similarity", 6).alias("similarity"))
+
+
+def cosine_sparse(df: DataFrame, item_col: str = "item", category_col: str = "category",
+                  weight_col: str = "weight", top_k: int | None = None,
+                  similarity_cutoff: float | None = None, top: int | None = None) -> DataFrame:
+    """`algo.similarity.cosine` over sparse (item, category, weight) rows —
+    the asVector input path, inverted-index instead of collect+broadcast."""
+    return _sparse_pairwise(df, "cosine", item_col, category_col, weight_col,
+                            top_k, similarity_cutoff, top)
+
+
+def pearson_sparse(df: DataFrame, item_col: str = "item", category_col: str = "category",
+                   weight_col: str = "weight", top_k: int | None = None,
+                   similarity_cutoff: float | None = None, top: int | None = None) -> DataFrame:
+    return _sparse_pairwise(df, "pearson", item_col, category_col, weight_col,
+                            top_k, similarity_cutoff, top)
+
+
+def euclidean_sparse(df: DataFrame, item_col: str = "item", category_col: str = "category",
+                     weight_col: str = "weight", top_k: int | None = None,
+                     similarity_cutoff: float | None = None, top: int | None = None) -> DataFrame:
+    return _sparse_pairwise(df, "euclidean", item_col, category_col, weight_col,
+                            top_k, similarity_cutoff, top)
+
+
+# ------------------------------------------------------------- write results
+def similarity_summary(pairs: DataFrame, sim_col: str = "similarity") -> DataFrame:
+    """The reference's SimilarityProc writeResult row: nodes, pair count and
+    score percentiles (SimilaritySummaryResult / HdrHistogram analogue)."""
+    items = pairs.select(F.col("a").alias("i")).unionByName(
+        pairs.select(F.col("b").alias("i"))
+    )
+    n_nodes = items.distinct().count()
+    return pairs.agg(
+        F.lit(n_nodes).cast("long").alias("nodes"),
+        F.count(F.lit(1)).alias("similarityPairs"),
+        F.min(sim_col).alias("min"),
+        F.max(sim_col).alias("max"),
+        F.avg(sim_col).alias("mean"),
+        F.expr(
+            f"percentile_approx({sim_col}, array(0.25, 0.5, 0.75, 0.9, 0.95, 0.99, 0.999))"
+        ).alias("percentiles"),
+    )
+
+
+def write_similar_relationships(
+    pairs: DataFrame, path: str, sim_col: str = "similarity"
+) -> DataFrame:
+    """SimilarityExporter analogue: persist (a)-[:SIMILAR {score}]->(b) rows
+    as parquet and return the summary row."""
+    pairs.select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        F.lit("SIMILAR").alias("rel_type"),
+        F.col(sim_col).alias("score"),
+    ).write.mode("overwrite").parquet(path)
+    return similarity_summary(pairs, sim_col)

@@ -4,11 +4,15 @@ Reference: `algo/src/main/java/org/neo4j/graphalgo/UnionFindProc.java`,
 `algo/.../impl/unionfind/{GraphUnionFind,ParallelUnionFind*}.java`,
 `core/.../core/utils/dss/DisjointSetStruct.java` (path-halving union-find).
 
-A shared-memory DSS doesn't distribute; the Spark-native equivalent is
-iterative **hash-min label propagation with pointer jumping** (cf. Kiveris
-et al., "Connected Components in MapReduce and Beyond"): each round every
-node takes the min of its own label, its neighbors' labels, and its label's
-label (pointer jump → O(log n) rounds), until a fixpoint.
+A shared-memory DSS doesn't distribute; the Spark-native equivalent is the
+**alternating large-star / small-star** algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond"): each round rewires every
+node's larger neighbors (large-star) then its smaller neighbors
+(small-star) onto the minimum of the local neighborhood. Provably
+O(log² n) rounds on ANY topology — unlike plain hash-min label
+propagation, which needs O(diameter) rounds and degrades catastrophically
+on chain-shaped graphs (spanning trees, paths; measured 100+ rounds on a
+500-node tree before this rewrite).
 
 Component id = **min original node id in the component** — canonical and
 stable, unlike the reference's arbitrary DSS roots (its tests assert
@@ -26,6 +30,43 @@ from linkgraph.graph import Graph
 from linkgraph.io import CheckpointManager
 
 
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _star(e: DataFrame, large: bool) -> DataFrame:
+    """One large-star (attach strictly-larger neighbors to the local min) or
+    small-star (attach smaller-or-equal neighbors + self to the local min)
+    operation over a symmetric edge set."""
+    m = e.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("m"))
+    j = e.join(m, "u")
+    if large:
+        out = j.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+    else:
+        out = (
+            j.filter(F.col("v") < F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m.select("u", F.col("m").alias("v")))
+        )
+    return _symmetrize(out)
+
+
+def _fingerprint(e: DataFrame) -> tuple:
+    # hash the DIRECTED pair: the symmetric set holds (u,v) AND (v,u), so a
+    # canonical (least,greatest) hash would appear twice and XOR to zero
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+    ).first()
+    return row["n"], row["h"]
+
+
 def wcc(
     graph: Graph,
     threshold: float | None = None,
@@ -37,63 +78,41 @@ def wcc(
     edges = graph.edges
     if threshold is not None:
         edges = edges.filter(F.col("weight") > threshold)
-    # undirected, deduped, no self-loops; symmetrize so one join covers both directions
-    und = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .persist()
+    e = _symmetrize(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     )
     nodes = graph.nodes.select("id").persist()
 
-    labels = nodes.select("id", F.col("id").alias("comp"))
     start = 0
     if checkpoint is not None:
         latest = checkpoint.latest()
         if latest is not None:
-            start, labels, _ = latest
-    labels = labels.localCheckpoint(eager=True)
+            start, e, _ = latest
+    e = e.localCheckpoint(eager=True)
+    prev_fp = _fingerprint(e)
 
     step = start
     while step < max_iterations:
         step += 1
-        # min over neighbors' labels
-        nbr_min = (
-            und.join(labels, und.src == labels.id)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("comp").alias("nmin"))
-        )
-        m = (
-            labels.join(nbr_min, "id", "left")
-            .select("id", F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"))
-        )
-        # pointer jump: comp ← comp(comp)
-        parent = m.select(F.col("id").alias("pid"), F.col("comp").alias("pcomp"))
-        # eager localCheckpoint: the self-join doubles the logical plan every
-        # round — truncate lineage or Catalyst blows up (SURVEY.md §7 part 3)
-        jumped = (
-            m.join(parent, m.comp == parent.pid, "left")
-            .select("id", F.coalesce("pcomp", "comp").alias("comp"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = jumped
+        e = _star(e, large=True).localCheckpoint(eager=True)
+        e = _star(e, large=False).localCheckpoint(eager=True)
+        fp = _fingerprint(e)
         if checkpoint is not None and step % checkpoint_every == 0:
-            labels = checkpoint.write(labels, step, {"iteration": step})
-        if changed == 0:
+            e = checkpoint.write(e, step, {"iteration": step})
+        if fp == prev_fp:
             break
+        prev_fp = fp
 
-    und.unpersist()
+    # fixpoint is a star forest: component(u) = min(u, neighbors)
+    labels = e.groupBy(F.col("u").alias("id")).agg(
+        F.least(F.col("id"), F.min("v")).alias("component")
+    )
+    out = (
+        nodes.join(labels, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
     nodes.unpersist()
-    return labels.select("id", F.col("comp").alias("component"))
+    return out
 
 
 def wcc_stats(components: DataFrame) -> DataFrame:

@@ -16,6 +16,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, functions as F
+from pyspark.sql.types import DoubleType
 from pyspark.sql.functions import pandas_udf
 
 
@@ -66,7 +67,7 @@ def euclidean_similarity_lists(a, b) -> Column:
     return 1.0 / (1.0 + euclidean_distance_lists(a, b))
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def pearson_lists(a: pd.Series, b: pd.Series) -> pd.Series:
     """Batch-vectorized Pearson over ragged list pairs: one concatenate +
     segment-reduce (np.add.reduceat) per Arrow batch, no per-row Python."""
@@ -105,3 +106,74 @@ def is_finite(col) -> Column:
     """`algo.isFinite` — float guards (IsFiniteFunc.java)."""
     c = F.col(col) if isinstance(col, str) else col
     return (~F.isnan(c)) & (c != float("inf")) & (c != float("-inf")) & c.isNotNull()
+
+
+def is_infinite(col) -> Column:
+    """`algo.isInfinite` (IsFiniteFunc.java)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNotNull() & ((c == float("inf")) | (c == float("-inf")))
+
+
+def nan() -> Column:
+    """`algo.NaN()` literal."""
+    return F.lit(float("nan"))
+
+
+def infinity() -> Column:
+    """`algo.Infinity()` literal."""
+    return F.lit(float("inf"))
+
+
+def as_vector(
+    df,
+    item_col: str = "item",
+    category_col: str = "category",
+    weight_col: str = "weight",
+    dense: bool = False,
+):
+    """`algo.similarity.asVector` — (item, category, weight) rows → per-item
+    vector representation.
+
+    Default: sparse (item, indices array<long>, weights array<double>) with
+    indices = dense category ranks (the RLE-vector analogue). dense=True
+    additionally expands to a C-dim array (only sane for small C).
+    The sparse form feeds cosine_sparse/pearson_sparse/euclidean_sparse.
+    """
+    spark = df.sparkSession
+    cats = df.select(F.col(category_col).alias("cat")).distinct()
+    idx = spark.createDataFrame(
+        cats.orderBy("cat").rdd.map(lambda r: r[0]).zipWithIndex().map(
+            lambda t: (t[0], int(t[1]))
+        ),
+        ["cat", "cat_idx"],
+    )
+    rows = (
+        df.select(
+            F.col(item_col).alias("item"),
+            F.col(category_col).alias("cat"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
+        .groupBy("item", "cat")
+        .agg(F.sum("w").alias("w"))
+        .join(idx, "cat")
+    )
+    out = rows.groupBy("item").agg(
+        F.sort_array(F.collect_list(F.struct("cat_idx", "w"))).alias("_s")
+    ).select(
+        "item",
+        F.transform("_s", lambda s: s["cat_idx"].cast("long")).alias("indices"),
+        F.transform("_s", lambda s: s["w"]).alias("weights"),
+    )
+    if dense:
+        c = cats.count()
+        dense_col = F.transform(
+            F.sequence(F.lit(0), F.lit(int(c) - 1)),
+            lambda i: F.coalesce(
+                F.element_at(
+                    F.map_from_arrays("indices", "weights"), i.cast("long")
+                ),
+                F.lit(0.0),
+            ),
+        )
+        out = out.withColumn("vector", dense_col)
+    return out

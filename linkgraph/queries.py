@@ -1312,6 +1312,97 @@ def q_doc_pagerank_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("id", F.round("rank", 5).alias("rank"))
 
 
+# ------------------------------------------------- sparse similarity (asVector)
+def _user_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user, event_type, count) — deterministic integer weights."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events.groupBy(
+        F.col("user_id").alias("item"), F.col("event_type").alias("category")
+    ).agg(F.count(F.lit(1)).cast("double").alias("weight"))
+
+
+def q_user_cosine_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """algo.similarity.cosine over the sparse asVector input path —
+    inverted-index pair generation, no broadcast/collect."""
+    from linkgraph.algorithms.vector_similarity import cosine_sparse
+
+    return cosine_sparse(_user_sparse(spark, sf_dir), top_k=3)
+
+
+_USER_SPARSE_SQL = """
+WITH w AS MATERIALIZED (
+  SELECT user_id AS item, event_type AS category, CAST(COUNT(*) AS DOUBLE) AS wt
+  FROM events GROUP BY user_id, event_type),
+stats AS MATERIALIZED (
+  SELECT item, SUM(wt * wt) AS q FROM w GROUP BY item),
+dots AS (
+  SELECT x.item AS a, y.item AS b, SUM(x.wt * y.wt) AS dot
+  FROM w x JOIN w y ON x.category = y.category AND x.item < y.item
+  GROUP BY x.item, y.item)
+"""
+
+
+def sql_user_cosine_sparse() -> str:
+    return (
+        _USER_SPARSE_SQL
+        + """,
+scored AS (
+  SELECT d.a, d.b, d.dot / GREATEST(sqrt(sa.q) * sqrt(sb.q), 1e-300) AS sim
+  FROM dots d JOIN stats sa ON sa.item = d.a JOIN stats sb ON sb.item = d.b),
+ranked AS (
+  SELECT a, b, sim, ROW_NUMBER() OVER (PARTITION BY a ORDER BY sim DESC, b ASC) AS rn
+  FROM scored)
+SELECT a, b, ROUND(sim, 6) AS similarity FROM ranked WHERE rn <= 3"""
+    )
+
+
+def q_user_sim_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimilarityProc writeResult summary row over the sparse cosine pairs."""
+    from linkgraph.algorithms.vector_similarity import cosine_sparse, similarity_summary
+
+    pairs = cosine_sparse(_user_sparse(spark, sf_dir), similarity_cutoff=0.2)
+    row = similarity_summary(pairs)
+    return row.select(
+        "nodes",
+        "similarityPairs",
+        F.round("min", 5).alias("min"),
+        F.round("max", 5).alias("max"),
+        F.round("mean", 5).alias("mean"),
+    )
+
+
+def sql_user_sim_summary() -> str:
+    return (
+        _USER_SPARSE_SQL
+        + """,
+scored AS (
+  SELECT d.a, d.b,
+         ROUND(d.dot / GREATEST(sqrt(sa.q) * sqrt(sb.q), 1e-300), 6) AS sim
+  FROM dots d JOIN stats sa ON sa.item = d.a JOIN stats sb ON sb.item = d.b),
+cut AS (SELECT a, b, sim FROM scored WHERE sim >= 0.2)
+SELECT (SELECT COUNT(DISTINCT i) FROM (SELECT a AS i FROM cut UNION SELECT b FROM cut) u) AS nodes,
+       COUNT(*) AS similarityPairs,
+       ROUND(MIN(sim), 5) AS min,
+       ROUND(MAX(sim), 5) AS max,
+       ROUND(AVG(sim), 5) AS mean
+FROM cut"""
+    )
+
+
+def q_doc_kspanning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.paths import k_spanning_tree
+
+    g = _weighted_doc_graph(spark, sf_dir)
+    return k_spanning_tree(g, k=5)
+
+
+def q_doc_infomap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.infomap import infomap
+
+    g = doc_graph(spark, sf_dir)
+    return infomap(g, pr_iterations=20)
+
+
 # ------------------------------------------------------------ rows-only extras
 def q_doc_yen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.algorithms.paths import yens_k_shortest_paths
@@ -1392,6 +1483,8 @@ QUERIES = {
     "emb_pearson_procs": q_emb_pearson_procs,
     "scalar_functions": q_scalar_functions,
     "rel_dedup_sum": q_rel_dedup_sum,
+    "user_cosine_sparse": q_user_cosine_sparse,
+    "user_sim_summary": q_user_sim_summary,
     "doc_closeness": q_doc_closeness,
     "doc_harmonic": q_doc_harmonic,
     "doc_dangalchev": q_doc_dangalchev,
@@ -1400,6 +1493,8 @@ QUERIES = {
     # rows-only (no SQL-expressible oracle: hashing/UDF/iterative-internal)
     "doc_betweenness": q_doc_betweenness,
     "doc_louvain": q_doc_louvain,
+    "doc_infomap": q_doc_infomap,
+    "doc_kspanning": q_doc_kspanning,
     "doc_random_walks": q_doc_random_walks,
     "doc_mst": q_doc_mst,
     "doc_spanning_tree_max": q_doc_spanning_tree_max,
@@ -1454,6 +1549,8 @@ ORACLES = {
     "emb_pearson_procs": sql_emb_pearson_procs(),
     "scalar_functions": sql_scalar_functions(),
     "rel_dedup_sum": sql_rel_dedup_sum(),
+    "user_cosine_sparse": sql_user_cosine_sparse(),
+    "user_sim_summary": sql_user_sim_summary(),
     "doc_closeness": sql_doc_closeness(),
     "doc_harmonic": sql_doc_harmonic(),
     "doc_dangalchev": sql_doc_dangalchev(),

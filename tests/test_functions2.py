@@ -1,0 +1,150 @@
+"""Tests for round-2 additions: sparse similarity procs, asVector, node
+lookup functions, infinity guards, kSpanningTree, InfoMap, summary row."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from linkgraph.graph import Graph
+
+from conftest import edges_df
+
+
+def _sparse_df(spark):
+    # 3 items over categories 0..3 (C=4)
+    rows = [
+        (1, 0, 1.0), (1, 1, 2.0), (1, 2, 3.0),
+        (2, 0, 1.0), (2, 1, 2.0), (2, 2, 3.0),     # identical to 1
+        (3, 1, 5.0), (3, 3, 1.0),
+    ]
+    return spark.createDataFrame(rows, "item long, category long, weight double")
+
+
+def _dense(rows, c=4):
+    out = {}
+    for i, cat, w in rows:
+        out.setdefault(i, np.zeros(c))[cat] = w
+    return out
+
+
+def test_sparse_cosine_pearson_euclidean_vs_numpy(spark):
+    from linkgraph.algorithms.vector_similarity import (
+        cosine_sparse,
+        euclidean_sparse,
+        pearson_sparse,
+    )
+
+    df = _sparse_df(spark)
+    rows = [(r["item"], r["category"], r["weight"]) for r in df.collect()]
+    vecs = _dense(rows)
+
+    cos = {(r["a"], r["b"]): r["similarity"] for r in cosine_sparse(df).collect()}
+    assert cos[(1, 2)] == pytest.approx(1.0)
+    want13 = float(
+        vecs[1] @ vecs[3] / (np.linalg.norm(vecs[1]) * np.linalg.norm(vecs[3]))
+    )
+    assert cos[(1, 3)] == pytest.approx(want13, abs=1e-6)
+
+    euc = {(r["a"], r["b"]): r["similarity"] for r in euclidean_sparse(df).collect()}
+    assert euc[(1, 2)] == pytest.approx(0.0)
+    assert euc[(1, 3)] == pytest.approx(float(np.linalg.norm(vecs[1] - vecs[3])), abs=1e-6)
+
+    pea = {(r["a"], r["b"]): r["similarity"] for r in pearson_sparse(df).collect()}
+    assert pea[(1, 2)] == pytest.approx(1.0)
+    assert pea[(1, 3)] == pytest.approx(float(np.corrcoef(vecs[1], vecs[3])[0, 1]), abs=1e-6)
+
+
+def test_as_vector_sparse_and_dense(spark):
+    from linkgraph.functions.similarities import as_vector
+
+    df = _sparse_df(spark)
+    out = {r["item"]: r for r in as_vector(df, "item", "category", "weight", dense=True).collect()}
+    assert list(out[1]["indices"]) == [0, 1, 2]
+    assert list(out[1]["weights"]) == [1.0, 2.0, 3.0]
+    assert list(out[3]["vector"]) == [0.0, 5.0, 0.0, 1.0]
+
+
+def test_similarity_summary_row(spark):
+    from linkgraph.algorithms.vector_similarity import cosine_sparse, similarity_summary
+
+    pairs = cosine_sparse(_sparse_df(spark))
+    row = similarity_summary(pairs).collect()[0]
+    assert row["nodes"] == 3
+    assert row["similarityPairs"] == pairs.count()
+    assert row["min"] <= row["mean"] <= row["max"]
+    assert len(row["percentiles"]) == 7
+
+
+def test_node_functions(spark):
+    from linkgraph.functions.nodes import as_node, as_nodes, get_nodes_by_id
+
+    nodes = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "id long, name string"
+    )
+    assert {r["id"] for r in get_nodes_by_id(nodes, [0, 2]).collect()} == {0, 2}
+
+    res = spark.createDataFrame([(0, 1.5), (2, 2.5)], "id long, score double")
+    j = {r["id"]: r["node_name"] for r in as_node(res, nodes).collect()}
+    assert j == {0: "a", 2: "c"}
+
+    res2 = spark.createDataFrame([(9, [2, 0]), (8, [1])], "k long, path array<bigint>")
+    got = {r["k"]: [s["name"] for s in r["path_nodes"]] for r in
+           as_nodes(res2, nodes, "path").collect()}
+    assert got == {9: ["c", "a"], 8: ["b"]}
+
+
+def test_infinity_guards(spark):
+    from linkgraph.functions.similarities import infinity, is_finite, is_infinite, nan
+
+    df = spark.createDataFrame([(1.0,), (None,)], "x double").select(
+        "x",
+        is_finite("x").alias("fin"),
+        is_infinite("x").alias("inf_"),
+        is_finite(nan()).alias("nan_fin"),
+        is_infinite(infinity()).alias("inf_inf"),
+    )
+    rows = {r["x"]: r for r in df.collect()}
+    assert rows[1.0]["fin"] and not rows[1.0]["inf_"]
+    assert not rows[1.0]["nan_fin"] and rows[1.0]["inf_inf"]
+    assert not rows[None]["fin"]
+
+
+def test_k_spanning_tree_clusters(spark):
+    from linkgraph.algorithms.paths import k_spanning_tree
+
+    # two tight pairs bridged by a heavy edge → k=2 cuts the bridge
+    edges = [(0, 1, 1.0), (2, 3, 1.0), (1, 2, 10.0)]
+    g = Graph.from_edges(edges_df(spark, edges),
+                         nodes=spark.createDataFrame([(i,) for i in range(4)], "id long"))
+    got = {r["id"]: r["cluster"] for r in k_spanning_tree(g, k=2).collect()}
+    assert got[0] == got[1] and got[2] == got[3] and got[0] != got[2]
+
+
+def test_infomap_two_communities(spark):
+    from linkgraph.algorithms.infomap import infomap
+
+    edges = [
+        (0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0),
+        (3, 4, 1.0), (4, 5, 1.0), (3, 5, 1.0),
+        (2, 3, 0.1),
+    ]
+    und = edges + [(b, a, w) for a, b, w in edges]
+    g = Graph.from_edges(edges_df(spark, und),
+                         nodes=spark.createDataFrame([(i,) for i in range(6)], "id long"))
+    res = infomap(g)
+    got = {r["id"]: r["community"] for r in res.collect()}
+    assert got[0] == got[1] == got[2]
+    assert got[3] == got[4] == got[5]
+    assert got[0] != got[3]
+    assert res.codelength > 0
+
+
+def test_dense_pairwise_guard(spark):
+    from linkgraph.algorithms.vector_similarity import cosine
+
+    items = spark.range(10).select(
+        F.col("id").alias("item"), F.array(F.lit(1.0), F.lit(2.0)).alias("weights")
+    )
+    with pytest.raises(ValueError, match="sparse"):
+        cosine(items, max_broadcast_items=5)
