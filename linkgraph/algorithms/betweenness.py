@@ -40,7 +40,9 @@ def _ensure_store(graph: Graph, direction: str, store_path: str | None) -> tuple
     if store_path is None:
         store_path = tempfile.mkdtemp(prefix="linkgraph_csrstore_")
     n = int(graph.nodes.agg(F.max("id")).first()[0]) + 1
-    if not blocks.store_exists(store_path):
+    if blocks.store_exists(store_path):
+        blocks.validate_store(store_path, "push")
+    else:
         edges = (
             graph.undirected_edges() if direction == "BOTH" else graph.edges
         ).select("src", "dst", "weight")

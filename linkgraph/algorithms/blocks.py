@@ -88,15 +88,43 @@ def _load_part(path: str, part: int, names: list[str]) -> dict | None:
     return blk
 
 
-def _finalize_store(df_manifest: DataFrame, path: str, num_blocks: int) -> None:
+def _finalize_store(
+    df_manifest: DataFrame, path: str, num_blocks: int, meta: dict | None = None
+) -> None:
     rows = df_manifest.collect()
     manifest = {
         "num_blocks": num_blocks,
         "parts": {str(r["part"]): int(r["n_edge"]) for r in rows},
     }
+    if meta:
+        manifest.update(meta)
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump(manifest, f)
     open(os.path.join(path, "_SUCCESS"), "w").close()
+
+
+def validate_store(
+    path: str, layout: str, weighted: bool | None = None
+) -> int:
+    """Read a pre-built store's manifest and return ITS num_blocks.
+
+    Raises on layout or weighted-flag mismatch — a store built with a
+    different num_blocks (e.g. defaultParallelism changed between sessions)
+    or weighting would otherwise silently mis-slice / zero contributions.
+    """
+    m = read_manifest(path)
+    got_layout = m.get("layout")
+    if got_layout is not None and got_layout != layout:
+        raise ValueError(
+            f"block store at {path} has layout={got_layout!r}, need {layout!r}"
+        )
+    got_w = m.get("weighted")
+    if weighted is not None and got_w is not None and bool(got_w) != bool(weighted):
+        raise ValueError(
+            f"block store at {path} was built weighted={got_w}; "
+            f"this run needs weighted={weighted} — rebuild or point elsewhere"
+        )
+    return int(m["num_blocks"])
 
 
 def store_exists(path: str) -> bool:
@@ -180,14 +208,19 @@ def _build_push_writer(path: str):
     return build
 
 
-def write_edge_blocks(edges: DataFrame, num_blocks: int, path: str) -> None:
+def write_edge_blocks(
+    edges: DataFrame, num_blocks: int, path: str, weighted: bool | None = None
+) -> None:
     """Materialize the CSR block store once under `path/part=K/*.npy`."""
     os.makedirs(path, exist_ok=True)
     e = edges.withColumn("part", F.pmod(F.col("src"), F.lit(num_blocks)).cast("int"))
     manifest = e.groupBy("part").applyInPandas(
         _build_push_writer(path), schema="part int, n_edge long"
     )
-    _finalize_store(manifest, path, num_blocks)
+    meta = {"layout": "push"}
+    if weighted is not None:
+        meta["weighted"] = bool(weighted)
+    _finalize_store(manifest, path, num_blocks, meta)
 
 
 def _pack_rank_block(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -270,7 +303,9 @@ def _build_pull_writer(path: str, num_blocks: int):
     return build
 
 
-def write_pull_blocks(edges: DataFrame, num_blocks: int, path: str) -> None:
+def write_pull_blocks(
+    edges: DataFrame, num_blocks: int, path: str, weighted: bool | None = None
+) -> None:
     """edges(src,dst,weight) → CSC store under `path/part=K/*.npy`.
 
     w_norm = w/W(src) via one DataFrame join (src degrees are global here,
@@ -287,7 +322,10 @@ def write_pull_blocks(edges: DataFrame, num_blocks: int, path: str) -> None:
     manifest = e.groupBy("part").applyInPandas(
         _build_pull_writer(path, num_blocks), schema="part int, n_edge long"
     )
-    _finalize_store(manifest, path, num_blocks)
+    meta = {"layout": "pull"}
+    if weighted is not None:
+        meta["weighted"] = bool(weighted)
+    _finalize_store(manifest, path, num_blocks, meta)
 
 
 def pull_superstep(

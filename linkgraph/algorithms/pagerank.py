@@ -157,8 +157,12 @@ class PageRank:
 
             block_path = tempfile.mkdtemp(prefix="linkgraph_pullblocks_")
             owns_blocks = True
-        if not blocks.store_exists(block_path):
-            blocks.write_pull_blocks(edges, b, block_path)
+        if blocks.store_exists(block_path):
+            # trust the STORE's geometry, not the caller's: a b mismatch
+            # would silently mis-slice every superstep
+            b = blocks.validate_store(block_path, "pull", self.weighted)
+        else:
+            blocks.write_pull_blocks(edges, b, block_path, weighted=self.weighted)
 
         p = t.copy()
         start_step = 0
@@ -226,11 +230,15 @@ class PageRank:
 
                 block_path = tempfile.mkdtemp(prefix="linkgraph_blocks_")
                 owns_blocks = True
-            if not blocks.store_exists(block_path):
+            if blocks.store_exists(block_path):
+                # adopt the store's num_blocks; reject weighted/layout drift
+                b = blocks.validate_store(block_path, "push", self.weighted)
+            else:
                 blocks.write_edge_blocks(
                     edges if self.weighted else edges.withColumn("weight", F.lit(1.0)),
                     b,
                     block_path,
+                    weighted=self.weighted,
                 )
         else:
             denom = self._denominator(edges).persist()

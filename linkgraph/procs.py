@@ -20,10 +20,11 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "algo.closeness.harmonic": ("linkgraph.algorithms.msbfs.harmonic_centrality", "harmonic centrality"),
     "algo.closeness.dangalchev": ("linkgraph.algorithms.msbfs.dangalchev_closeness", "Dangalchev closeness"),
     "algo.betweenness": ("linkgraph.algorithms.betweenness.betweenness_centrality", "Brandes, exact or RA-Brandes sampled"),
-    "algo.unionFind": ("linkgraph.algorithms.wcc.wcc", "weakly connected components (hash-min + pointer jumping), threshold"),
+    "algo.unionFind": ("linkgraph.algorithms.wcc.wcc", "weakly connected components (alternating large/small-star), threshold"),
     "algo.scc": ("linkgraph.algorithms.scc.scc", "strongly connected components (forward-backward coloring)"),
     "algo.labelPropagation": ("linkgraph.algorithms.lpa.label_propagation", "seeded synchronous LPA, deterministic tie-break"),
     "algo.louvain": ("linkgraph.algorithms.louvain.louvain", "multi-level modularity optimization + coarsening"),
+    "algo.infoMap": ("linkgraph.algorithms.infomap.infomap", "two-level map equation over PageRank flows"),
     "algo.triangleCount": ("linkgraph.algorithms.triangles.triangle_count", "per-node triangles + clustering coefficient"),
     "algo.triangle.stream": ("linkgraph.algorithms.triangles.triangle_stream", "stream (a,b,c) triangles"),
     "algo.balancedTriads": ("linkgraph.algorithms.triangles.balanced_triads", "signed balanced/unbalanced triads"),
@@ -37,16 +38,26 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "algo.dfs.stream": ("linkgraph.algorithms.paths.dfs", "DFS preorder traversal"),
     "algo.spanningTree.minimum": ("linkgraph.algorithms.paths.minimum_spanning_forest", "min spanning forest (Boruvka)"),
     "algo.spanningTree.maximum": ("linkgraph.algorithms.paths.minimum_spanning_forest", "max spanning forest (maximum=True)"),
+    "algo.spanningTree.kmin": ("linkgraph.algorithms.paths.k_spanning_tree", "k-cluster spanning tree (cut k-1 heaviest MST edges)"),
     "algo.randomWalk.stream": ("linkgraph.algorithms.randomwalk.random_walks", "random / node2vec walks"),
     "algo.similarity.jaccard": ("linkgraph.algorithms.similarity.jaccard", "set jaccard, inverted-index join, topK/cutoffs"),
     "algo.similarity.overlap": ("linkgraph.algorithms.similarity.overlap", "set overlap similarity"),
     "algo.similarity.cosine": ("linkgraph.algorithms.vector_similarity.cosine", "weighted-vector cosine, topK/cutoffs"),
     "algo.similarity.pearson": ("linkgraph.algorithms.vector_similarity.pearson", "weighted-vector pearson"),
     "algo.similarity.euclidean": ("linkgraph.algorithms.vector_similarity.euclidean", "weighted-vector euclidean distance"),
+    "algo.similarity.cosine.sparse": ("linkgraph.algorithms.vector_similarity.cosine_sparse", "sparse (item,category,weight) cosine via inverted index - asVector path"),
+    "algo.similarity.pearson.sparse": ("linkgraph.algorithms.vector_similarity.pearson_sparse", "sparse pearson via inverted index"),
+    "algo.similarity.euclidean.sparse": ("linkgraph.algorithms.vector_similarity.euclidean_sparse", "sparse euclidean via inverted index"),
+    "algo.similarity.asVector": ("linkgraph.functions.similarities.as_vector", "(item,category,weight) rows to sparse/dense vectors"),
     "algo.linkprediction.*": ("linkgraph.functions.linkprediction.link_prediction_scores", "adamicAdar/resourceAllocation/commonNeighbors/totalNeighbors/preferentialAttachment"),
     "algo.similarity.functions": ("linkgraph.functions.similarities", "scalar jaccard/cosine/pearson/overlap/euclidean over lists"),
     "algo.ml.oneHotEncoding": ("linkgraph.functions.similarities.one_hot_encoding", "one-hot list encoding"),
     "algo.isFinite": ("linkgraph.functions.similarities.is_finite", "float guard"),
+    "algo.isInfinite": ("linkgraph.functions.similarities.is_infinite", "float guard"),
+    "algo.asNode": ("linkgraph.functions.nodes.as_node", "rehydrate node properties onto a result stream"),
+    "algo.asNodes": ("linkgraph.functions.nodes.as_nodes", "rehydrate an array of node ids"),
+    "algo.getNodesById": ("linkgraph.functions.nodes.get_nodes_by_id", "node rows for given ids"),
+    "algo.memrec": ("linkgraph.procs.memrec", "memory estimate for an algorithm over a graph"),
     "algo.graph.load": ("linkgraph.catalog.GraphCatalog.load", "named graph catalog: load/info/list/remove/save"),
 }
 
@@ -70,3 +81,35 @@ def help_proc(name: str) -> dict | None:
 def version() -> str:
     """`algo.version()`."""
     return linkgraph.__version__
+
+
+_MEMREC_PER_ALGO = {
+    # bytes-per-node / bytes-per-edge coefficient estimates for the Spark
+    # engine's structures (rank vectors, CSR block arrays, label frames) —
+    # the analogue of MemRecProc's MemoryEstimation trees (P/MemRecProc.java)
+    "pagerank": (3 * 8, 8 + 8 + 4),     # ranks+teleport+tmp / w_norm+src+code
+    "unionfind": (2 * 8, 2 * 2 * 8),    # labels / symmetric star edge rows
+    "labelpropagation": (2 * 8, 2 * 8),
+    "triangleCount": (2 * 8, 3 * 8),
+    "louvain": (4 * 8, 3 * 8),
+    "betweenness": (4 * 8, 2 * 8),
+}
+
+
+def memrec(graph, algo: str = "pagerank", num_executors: int = 1) -> dict:
+    """`CALL algo.memrec` — estimated memory footprint for `algo` over the
+    projected graph, per executor and total (heap-equivalent bytes)."""
+    key = algo.lower().replace(".", "").replace("algo", "")
+    per_node, per_edge = _MEMREC_PER_ALGO.get(key, _MEMREC_PER_ALGO["pagerank"])
+    n = graph.num_nodes()
+    m = graph.num_edges()
+    total = n * per_node + m * per_edge
+    return {
+        "algo": algo,
+        "nodes": n,
+        "relationships": m,
+        "bytesPerNode": per_node,
+        "bytesPerRel": per_edge,
+        "requiredMemoryTotal": int(total),
+        "requiredMemoryPerExecutor": int(total / max(num_executors, 1)),
+    }

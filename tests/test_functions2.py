@@ -148,3 +148,34 @@ def test_dense_pairwise_guard(spark):
     )
     with pytest.raises(ValueError, match="sparse"):
         cosine(items, max_broadcast_items=5)
+
+
+def test_memrec_estimate(spark):
+    from linkgraph.procs import memrec
+
+    g = Graph.from_edges(edges_df(spark, [(0, 1, 1.0), (1, 2, 1.0)]))
+    row = memrec(g, "pagerank", num_executors=2)
+    assert row["nodes"] == 3 and row["relationships"] == 2
+    assert row["requiredMemoryTotal"] > 0
+    assert row["requiredMemoryPerExecutor"] == row["requiredMemoryTotal"] // 2
+
+
+def test_block_store_validation(spark, tmp_path):
+    import pytest as _pytest
+
+    from linkgraph.algorithms import blocks
+    from linkgraph.algorithms.pagerank import PageRank
+
+    g = Graph.from_edges(edges_df(spark, [(0, 1, 1.0), (1, 2, 2.0), (2, 0, 3.0)]),
+                         nodes=spark.createDataFrame([(i,) for i in range(3)], "id long"))
+    path = str(tmp_path / "store")
+    blocks.write_edge_blocks(g.edges, num_blocks=2, path=path, weighted=False)
+    # store geometry wins over caller-provided num_blocks
+    pr = PageRank(max_iterations=3, strategy="csr", num_blocks=7, block_store=path)
+    assert pr.run(g).count() == 3
+    # weighted mismatch rejected instead of silently wrong ranks
+    with _pytest.raises(ValueError, match="weighted"):
+        PageRank(max_iterations=3, strategy="csr", weighted=True, block_store=path).run(g)
+    # layout mismatch rejected
+    with _pytest.raises(ValueError, match="layout"):
+        PageRank(max_iterations=3, strategy="pull", block_store=path).run(g)
