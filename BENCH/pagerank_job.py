@@ -40,8 +40,11 @@ def main() -> None:
     g = Graph.from_edges(edges, nodes=nodes)
     # shared block store: built by the first run, reused (identical bytes)
     block_store = f"{path.rstrip('/')}_{strategy}blocks{num_blocks}"
-    # warm-up superstep (block build, worker spin-up, JIT) then measured loop
-    PageRank(max_iterations=1, strategy=strategy, num_blocks=num_blocks,
+    # warm-up supersteps (block build, worker spin-up, JIT, and the host's
+    # CPU-frequency ramp under sustained load — measured: the identical
+    # numpy kernel runs 4-12x slower on its first 1-2 invocations on this
+    # sandbox VM) then the measured loop
+    PageRank(max_iterations=3, strategy=strategy, num_blocks=num_blocks,
              block_store=block_store).run(g).count()
     pr = PageRank(max_iterations=supersteps, strategy=strategy,
                   num_blocks=num_blocks, block_store=block_store)
@@ -49,6 +52,14 @@ def main() -> None:
     pr.run(g).count()
     wall = time.time() - t0
     loop_sec = sum(pr.metrics.superstep_millis) / 1000.0
+    # steady-state: median of the last half of supersteps — what a long
+    # to-convergence run (20-50 iters at 1e-6) experiences once the host
+    # frequency ramp settles; whole-loop edges_per_sec stays as the
+    # conservative number
+    import statistics
+
+    tail = pr.metrics.superstep_millis[len(pr.metrics.superstep_millis) // 2:]
+    steady_sec = statistics.median(tail) / 1000.0
     print(
         "SCALING_RESULT "
         + json.dumps(
@@ -61,6 +72,8 @@ def main() -> None:
                 "wall_sec": round(wall, 3),
                 "loop_sec": round(loop_sec, 3),
                 "edges_per_sec": round(n_edges * supersteps / loop_sec, 1),
+                "steady_superstep_sec": round(steady_sec, 3),
+                "edges_per_sec_steady": round(n_edges / steady_sec, 1),
             }
         )
     )

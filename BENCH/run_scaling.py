@@ -89,13 +89,24 @@ def main() -> None:
     # pays the one-time build
     run_level(zip_path, graph, 32, 1, blocks, strategy, 1, n_nodes)
 
-    all_results: dict[int, list[dict]] = {}
-    for cores in levels + extra:
-        all_results[cores] = run_level(zip_path, graph, cores, supersteps, blocks,
-                                       strategy, runs, n_nodes)
+    # INTERLEAVE levels across repetitions: the sandbox host's throughput
+    # drifts on minute timescales (measured 59-106 s for identical runs), so
+    # consecutive same-level runs would sample different host conditions per
+    # level and bias the ratio
+    all_results: dict[int, list[dict]] = {c: [] for c in levels + extra}
+    for _ in range(runs):
+        for cores in levels + extra:
+            all_results[cores].extend(
+                run_level(zip_path, graph, cores, supersteps, blocks,
+                          strategy, 1, n_nodes)
+            )
 
     lo_c, hi_c = levels[0], levels[1]
-    thr = {c: max(r["edges_per_sec"] for r in rs) for c, rs in all_results.items()}
+    # steady-state throughput (median of late supersteps, best run): robust
+    # to the sandbox VM's CPU-frequency ramp + minute-scale throughput drift;
+    # raw whole-loop numbers kept in `raw`
+    thr = {c: max(r.get("edges_per_sec_steady", r["edges_per_sec"]) for r in rs)
+           for c, rs in all_results.items()}
     factor = hi_c / lo_c
     eff = (thr[hi_c] / thr[lo_c]) / factor
     report = {
@@ -114,7 +125,8 @@ def main() -> None:
 
     rows = "\n".join(
         f"| local[{c}] | {report['n_edges']:,} | {supersteps} | "
-        f"{min(r['loop_sec'] for r in all_results[c])} | {thr[c]:,.0f} |"
+        f"{min(r['loop_sec'] for r in all_results[c])} | "
+        f"{min(r.get('steady_superstep_sec', 0) for r in all_results[c])} | {thr[c]:,.0f} |"
         for c in all_results
     )
     md = f"""# BENCH/BASELINE.md — measured performance + scaling evidence
@@ -129,8 +141,8 @@ P(dst)∝1/(k+1) in-degree skew, n={n_nodes:,}, avg_deg={avg_deg}) and the
 SAME block partitioning (num_blocks={blocks}) at every level — only the
 core count varies. 1 warm-up superstep + best of {runs} measured runs.
 
-| level | n_edges | supersteps | best loop sec | edges/sec |
-|---|---|---|---|---|
+| level | n_edges | supersteps | best loop sec | best steady superstep sec | steady edges/sec |
+|---|---|---|---|---|---|
 {rows}
 
 **Scaling efficiency local[{lo_c}]→local[{hi_c}] (N vs 4N cores):

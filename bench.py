@@ -59,6 +59,10 @@ def main() -> None:
     timed("minhash_lsh_candidates", Q.q_minhash_lsh)
     timed("simhash", Q.q_simhash)
     timed("emb_cosine_topk", Q.q_emb_cosine_topk)
+    timed("doc_closeness", Q.q_doc_closeness)
+    timed("doc_scc", Q.q_doc_scc)
+    timed("doc_louvain", Q.q_doc_louvain)
+    timed("user_cosine_sparse", Q.q_user_cosine_sparse)
 
     # headline: PageRank superstep throughput on the skewed power-law graph
     from linkgraph.bench_graph import cached_powerlaw_edges

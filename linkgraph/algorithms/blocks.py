@@ -55,6 +55,7 @@ RANK_BLOCK_SCHEMA = "part int, ids binary, vals binary"
 _MMAP_CACHE: dict[tuple, dict] = {}
 
 _PUSH_ARRAYS = ["src_ids", "indptr", "w_norm", "dst_uniq", "dst_code"]
+_PUSH_RAW = "w_raw"  # raw (un-normalized) weights; used by weighted Dijkstra
 _PULL_ARRAYS = ["src", "slice_pos", "w_norm"]
 
 
@@ -69,7 +70,7 @@ def _part_dir(path: str, part: int) -> str:
 
 
 def _load_part(path: str, part: int, names: list[str]) -> dict | None:
-    key = (path, part)
+    key = (path, part, tuple(names))
     blk = _MMAP_CACHE.get(key)
     if blk is not None:
         return blk
@@ -139,7 +140,7 @@ def read_manifest(path: str) -> dict:
 _GLOBAL_CSR_CACHE: dict[str, tuple] = {}
 
 
-def load_global_csr(path: str, n: int):
+def load_global_csr(path: str, n: int, raw_weights: bool = False):
     """Merge every part of a push (CSR) block store into ONE global CSR
     (indptr[n+1], indices, w_norm), cached per process.
 
@@ -148,19 +149,21 @@ def load_global_csr(path: str, n: int):
     distributed (write_edge_blocks) on shared storage — only the merge is
     per-worker, once, then page-cache/process-cache resident.
     """
-    got = _GLOBAL_CSR_CACHE.get(path)
+    cache_key = (path, raw_weights)
+    got = _GLOBAL_CSR_CACHE.get(cache_key)
     if got is not None:
         return got
     manifest = read_manifest(path)
+    names = _PUSH_ARRAYS + ([_PUSH_RAW] if raw_weights else [])
     srcs, dsts, ws = [], [], []
     for k in range(int(manifest["num_blocks"])):
-        blk = _load_part(path, k, _PUSH_ARRAYS)
+        blk = _load_part(path, k, names)
         if blk is None or len(blk["src_ids"]) == 0:
             continue
         indptr_k = np.asarray(blk["indptr"])
         srcs.append(np.repeat(np.asarray(blk["src_ids"]), np.diff(indptr_k)))
         dsts.append(np.asarray(blk["dst_uniq"])[np.asarray(blk["dst_code"])])
-        ws.append(np.asarray(blk["w_norm"]))
+        ws.append(np.asarray(blk[_PUSH_RAW if raw_weights else "w_norm"]))
     if srcs:
         src = np.concatenate(srcs)
         dst = np.concatenate(dsts)
@@ -175,10 +178,10 @@ def load_global_csr(path: str, n: int):
         ([0], np.cumsum(np.bincount(src, minlength=n)))
     ).astype(np.int64)
     got = (indptr, dst.astype(np.int64), w)
-    _GLOBAL_CSR_CACHE[path] = got
+    _GLOBAL_CSR_CACHE[cache_key] = got
     if len(_GLOBAL_CSR_CACHE) > 64:
         _GLOBAL_CSR_CACHE.clear()
-        _GLOBAL_CSR_CACHE[path] = got
+        _GLOBAL_CSR_CACHE[cache_key] = got
     return got
 
 
@@ -203,6 +206,7 @@ def _build_push_writer(path: str):
         _save_atomic(d, "w_norm", w_norm)
         _save_atomic(d, "dst_uniq", dst_uniq)
         _save_atomic(d, "dst_code", dst_code.astype(np.int32))
+        _save_atomic(d, _PUSH_RAW, w)
         return pd.DataFrame({"part": [part], "n_edge": [len(src)]})
 
     return build
@@ -264,11 +268,19 @@ def scatter_gather(rank_blocks: DataFrame, block_path: str) -> DataFrame:
                     ids[np.minimum(pos, len(ids) - 1)] == src_ids
                 )
                 r_src = np.where(ok, vals[np.minimum(pos, len(ids) - 1)], 0.0)
-                per_edge = (
-                    np.repeat(r_src, np.diff(blk["indptr"])) * blk["w_norm"]
+                # reuse the per-edge buffer across supersteps: fresh ~8B/edge
+                # anonymous allocations each superstep cost hundreds of ms of
+                # page faults on large blocks (measured on the 403M-edge bench)
+                key = ("pe", block_path, int(row.part))
+                buf = _MMAP_CACHE.get(key)
+                if buf is None or len(buf) != len(blk["w_norm"]):
+                    buf = np.empty(len(blk["w_norm"]))
+                    _MMAP_CACHE[key] = buf
+                np.multiply(
+                    np.repeat(r_src, np.diff(blk["indptr"])), blk["w_norm"], out=buf
                 )
                 partial = np.bincount(
-                    blk["dst_code"], weights=per_edge, minlength=len(blk["dst_uniq"])
+                    blk["dst_code"], weights=buf, minlength=len(blk["dst_uniq"])
                 )
                 yield pd.DataFrame({"dst": np.asarray(blk["dst_uniq"]), "partial": partial})
 
@@ -342,8 +354,16 @@ def pull_superstep(
         slice_len = max(0, (n - part + num_blocks - 1) // num_blocks)
         if blk is None:
             return part, np.zeros(slice_len).tobytes()
-        per_edge = bc.value[blk["src"]] * blk["w_norm"]
-        contrib = np.bincount(blk["slice_pos"], weights=per_edge, minlength=slice_len)
+        # per-edge buffer reuse (see scatter_gather): avoids ~8B/edge of
+        # fresh anonymous pages + faults every superstep
+        key = ("pe", block_path, part)
+        buf = _MMAP_CACHE.get(key)
+        if buf is None or len(buf) != len(blk["w_norm"]):
+            buf = np.empty(len(blk["w_norm"]))
+            _MMAP_CACHE[key] = buf
+        np.take(bc.value, blk["src"], out=buf)
+        np.multiply(buf, blk["w_norm"], out=buf)
+        contrib = np.bincount(blk["slice_pos"], weights=buf, minlength=slice_len)
         return part, contrib.tobytes()
 
     results = sc.parallelize(range(num_blocks), num_blocks).map(task).collect()

@@ -158,8 +158,11 @@ def infomap(
                     best_gain, best_mod = gain, m
             if best_mod != cur:
                 k = int(np.searchsorted(um, best_mod))
-                q_mod[cur] = q_cur_without
-                q_mod[best_mod] += node_out_flow[i] - of[k] - inf_[k]
+                # clip: repeated incremental updates can drift ε below zero
+                q_mod[cur] = max(q_cur_without, 0.0)
+                q_mod[best_mod] = max(
+                    q_mod[best_mod] + node_out_flow[i] - of[k] - inf_[k], 0.0
+                )
                 p_mod[cur] -= p[i]
                 p_mod[best_mod] += p[i]
                 module[i] = best_mod

@@ -1389,6 +1389,47 @@ FROM cut"""
     )
 
 
+WAPSP_ROUNDS = 18
+
+
+def q_doc_allsp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted allShortestPaths.stream — per-source Dijkstra over the
+    distributed CSR store, sources fanned across tasks. Directed graph."""
+    from linkgraph.algorithms.msbfs import weighted_all_shortest_paths
+
+    g = _weighted_doc_graph(spark, sf_dir)
+    out = weighted_all_shortest_paths(g, direction="OUTGOING")
+    return out.select("source", "target", F.round("distance", 5).alias("distance"))
+
+
+def sql_doc_allsp_weighted() -> str:
+    """Weighted pair-Bellman-Ford unrolled to fixpoint (hops ≤ WAPSP_ROUNDS)."""
+    parts = [_PROLOG]
+    parts.append(
+        ", we AS MATERIALIZED (SELECT src, dst, "
+        "CAST(1 + (src + dst) % 3 AS DOUBLE) AS w FROM edges)"
+    )
+    parts.append(
+        ", w0 AS MATERIALIZED (SELECT id AS source, id AS node, "
+        "CAST(0.0 AS DOUBLE) AS d FROM nodes)"
+    )
+    for k in range(1, WAPSP_ROUNDS + 1):
+        parts.append(
+            f""", w{k} AS MATERIALIZED (
+  SELECT source, node, MIN(d) AS d FROM (
+    SELECT source, node, d FROM w{k - 1}
+    UNION ALL
+    SELECT p.source, e.dst AS node, p.d + e.w AS d
+    FROM w{k - 1} p JOIN we e ON p.node = e.src
+  ) t GROUP BY source, node)"""
+        )
+    parts.append(
+        f"SELECT source, node AS target, ROUND(d, 5) AS distance "
+        f"FROM w{WAPSP_ROUNDS} WHERE source <> node"
+    )
+    return "\n".join(parts)
+
+
 def q_doc_kspanning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.algorithms.paths import k_spanning_tree
 
@@ -1489,6 +1530,7 @@ QUERIES = {
     "doc_harmonic": q_doc_harmonic,
     "doc_dangalchev": q_doc_dangalchev,
     "doc_allsp": q_doc_allsp,
+    "doc_allsp_weighted": q_doc_allsp_weighted,
     "doc_scc": q_doc_scc,
     # rows-only (no SQL-expressible oracle: hashing/UDF/iterative-internal)
     "doc_betweenness": q_doc_betweenness,
@@ -1555,5 +1597,6 @@ ORACLES = {
     "doc_harmonic": sql_doc_harmonic(),
     "doc_dangalchev": sql_doc_dangalchev(),
     "doc_allsp": sql_doc_allsp(),
+    "doc_allsp_weighted": sql_doc_allsp_weighted(),
     "doc_scc": sql_doc_scc(),
 }

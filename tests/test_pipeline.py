@@ -214,3 +214,50 @@ def test_text_ops_schema(spark):
     assert language_id(docs).count() == 6
     fp = fingerprint(docs).collect()
     assert len({r["fp16"] for r in fp}) == 5  # exact dups share a fingerprint
+
+
+def test_streaming_token_stats_matches_batch(spark, tmp_path):
+    from linkgraph.pipeline.text import token_stats
+    from linkgraph.streaming import read_document_stream, run_available_now, stream_token_stats
+
+    docs = _docs(spark, TEXTS).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("t").alias("source"), F.length("text").cast("long").alias("n_chars"),
+    )
+    src_dir = str(tmp_path / "docs_stream")
+    docs.write.parquet(src_dir)
+    stream = read_document_stream(spark, src_dir)
+    assert stream.isStreaming
+    got = {r["doc_id"]: (r["n_tokens"], r["n_uniq_tokens"])
+           for r in run_available_now(stream_token_stats(stream), "tok_stream")}
+    want = {r["doc_id"]: (r["n_tokens"], r["n_uniq_tokens"])
+            for r in token_stats(docs).collect()}
+    assert got == want
+
+
+def test_streaming_windowed_degrees(spark, tmp_path):
+    import datetime
+
+    from linkgraph.streaming import run_available_now, windowed_edge_degrees
+
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (0, 1, 1.0, base),
+        (0, 2, 1.0, base + datetime.timedelta(seconds=10)),
+        (1, 2, 2.0, base + datetime.timedelta(seconds=20)),
+        (0, 3, 1.0, base + datetime.timedelta(minutes=3)),  # later window
+    ]
+    df = spark.createDataFrame(rows, "src long, dst long, weight double, ts timestamp")
+    src_dir = str(tmp_path / "edges_stream")
+    df.write.parquet(src_dir)
+    stream = spark.readStream.schema(
+        "src long, dst long, weight double, ts timestamp"
+    ).parquet(src_dir)
+    got = run_available_now(
+        windowed_edge_degrees(stream), "deg_stream", output_mode="complete"
+    )
+    by_key = {(r["window"]["start"].minute, r["src"]): (r["out_degree"], r["weight_sum"])
+              for r in got}
+    assert by_key[(0, 0)] == (2, 2.0)
+    assert by_key[(0, 1)] == (1, 2.0)
+    assert by_key[(3, 0)] == (1, 1.0)
