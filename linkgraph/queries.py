@@ -790,9 +790,13 @@ def q_doc_balanced_triads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding at the near-dup DEDUP operating point: 64 hashes in 4
+    bands of 16 rows → collision threshold s* = (1/4)^(1/16) ≈ 0.92. The
+    synthetic corpus is heavily templated — looser banding (r=4) collides
+    ~77% of ALL pairs, which is correct LSH behavior but useless for dedup."""
     from linkgraph.pipeline.dedup import minhash_lsh_candidates
 
-    return minhash_lsh_candidates(load_documents(spark, sf_dir))
+    return minhash_lsh_candidates(load_documents(spark, sf_dir), bands=4)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
