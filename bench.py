@@ -92,23 +92,35 @@ def main() -> None:
     timings["pagerank_powerlaw_pull_loop"] = round(pull_loop, 3)
     edges_per_sec = n_edges * supersteps / min(loop_sec, pull_loop)
 
-    print(
-        json.dumps(
-            {
-                "metric": "pagerank_edges_per_sec",
-                "value": round(edges_per_sec, 1),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir.rstrip("/").split("sf")[-1],
-                "bench_graph": {
-                    "n_nodes": n_nodes,
-                    "n_edges": int(n_edges),
-                    "supersteps": supersteps,
-                    "cpus": cpus,
-                },
-            }
-        )
+    out = {
+        "metric": "pagerank_edges_per_sec",
+        "value": round(edges_per_sec, 1),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "bench_graph": {
+            "n_nodes": n_nodes,
+            "n_edges": int(n_edges),
+            "supersteps": supersteps,
+            "cpus": cpus,
+        },
+    }
+    # attach the latest spark-submit scaling evidence (north rule: two
+    # parallelism levels + efficiency) if BENCH/run_scaling.py has run
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_result.json"
     )
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            sr = json.load(f)
+        out["scaling"] = {
+            "n_edges": sr.get("n_edges"),
+            "levels_edges_per_sec": sr.get("levels"),
+            "efficiency_pair": sr.get("efficiency_pair"),
+            "scaling_efficiency": sr.get("scaling_efficiency"),
+            "ts": sr.get("ts"),
+        }
+    print(json.dumps(out))
     spark.stop()
 
 

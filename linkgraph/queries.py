@@ -430,6 +430,79 @@ def sql_doc_lpa() -> str:
     return "\n".join(parts)
 
 
+def q_doc_lpa_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted LPA: votes weighted by 1+(src+dst)%3 (symmetric)."""
+    from linkgraph.algorithms.lpa import label_propagation
+
+    g = _weighted_doc_graph(spark, sf_dir)
+    return label_propagation(g, max_iterations=LPA_ROUNDS, weighted=True).select(
+        "id", "label"
+    )
+
+
+def sql_doc_lpa_weighted() -> str:
+    parts = [_PROLOG]
+    parts.append(
+        ", uew AS MATERIALIZED (SELECT src, dst, "
+        "CAST(1 + (src + dst) % 3 AS DOUBLE) AS w FROM edges "
+        "UNION SELECT dst, src, CAST(1 + (src + dst) % 3 AS DOUBLE) FROM edges)"
+    )
+    parts.append(", v0 AS (SELECT doc_id AS id, doc_id AS label FROM documents)")
+    for k in range(1, LPA_ROUNDS + 1):
+        parts.append(
+            f""", v{k} AS MATERIALIZED (
+  SELECT l.id, COALESCE(v.new_label, l.label) AS label
+  FROM v{k - 1} l LEFT JOIN (
+    SELECT id, new_label FROM (
+      SELECT u.dst AS id, p.label AS new_label,
+             ROW_NUMBER() OVER (PARTITION BY u.dst ORDER BY SUM(u.w) DESC, p.label ASC) AS rn
+      FROM uew u JOIN v{k - 1} p ON u.src = p.id
+      GROUP BY u.dst, p.label
+    ) t WHERE rn = 1
+  ) v ON l.id = v.id)"""
+        )
+    parts.append(f"SELECT id, label FROM v{LPA_ROUNDS}")
+    return "\n".join(parts)
+
+
+def q_doc_lpa_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded LPA: partitionProperty = first letter of lang."""
+    from linkgraph.algorithms.lpa import label_propagation
+
+    docs = load_documents(spark, sf_dir)
+    nodes = docs.select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.ascii(F.substring("lang", 1, 1)).cast("long").alias("seed"),
+    )
+    g = Graph.from_edges(doc_edges(spark, sf_dir), nodes=nodes)
+    return label_propagation(
+        g, max_iterations=LPA_ROUNDS, seed_col="seed", weighted=False
+    ).select("id", "label")
+
+
+def sql_doc_lpa_seeded() -> str:
+    parts = [_PROLOG]
+    parts.append(
+        ", g0 AS (SELECT doc_id AS id, "
+        "CAST(ascii(substr(lang, 1, 1)) AS BIGINT) AS label FROM documents)"
+    )
+    for k in range(1, LPA_ROUNDS + 1):
+        parts.append(
+            f""", g{k} AS MATERIALIZED (
+  SELECT l.id, COALESCE(v.new_label, l.label) AS label
+  FROM g{k - 1} l LEFT JOIN (
+    SELECT id, new_label FROM (
+      SELECT u.dst AS id, p.label AS new_label,
+             ROW_NUMBER() OVER (PARTITION BY u.dst ORDER BY COUNT(*) DESC, p.label ASC) AS rn
+      FROM ue u JOIN g{k - 1} p ON u.src = p.id
+      GROUP BY u.dst, p.label
+    ) t WHERE rn = 1
+  ) v ON l.id = v.id)"""
+        )
+    parts.append(f"SELECT id, label FROM g{LPA_ROUNDS}")
+    return "\n".join(parts)
+
+
 # ------------------------------------------------------------------ triangles
 def q_doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.algorithms.triangles import triangle_count
@@ -1508,6 +1581,8 @@ QUERIES = {
     "doc_wcc_threshold": q_doc_wcc_threshold,
     "doc_wcc_stats": q_doc_wcc_stats,
     "doc_lpa": q_doc_lpa,
+    "doc_lpa_weighted": q_doc_lpa_weighted,
+    "doc_lpa_seeded": q_doc_lpa_seeded,
     "doc_triangles": q_doc_triangles,
     "doc_triangle_global": q_doc_triangle_global,
     "doc_triangle_stream": q_doc_triangle_stream,
@@ -1575,6 +1650,8 @@ ORACLES = {
     "doc_wcc_threshold": sql_doc_wcc_threshold(),
     "doc_wcc_stats": sql_doc_wcc_stats(),
     "doc_lpa": sql_doc_lpa(),
+    "doc_lpa_weighted": sql_doc_lpa_weighted(),
+    "doc_lpa_seeded": sql_doc_lpa_seeded(),
     "doc_triangles": sql_doc_triangles(),
     "doc_triangle_global": sql_doc_triangle_global(),
     "doc_triangle_stream": sql_doc_triangle_stream(),
