@@ -1362,6 +1362,48 @@ LEFT JOIN (SELECT src, SUM(w) AS s FROM uw GROUP BY src) bb ON n.id = bb.src"""
     )
 
 
+# ---------------------------------------------------- typed subgraph loader
+def q_doc_subgraph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphLoader withLabel + withRelationshipType: induced subgraph of
+    en/de documents over 'cites'-typed edges, BOTH-direction degree.
+
+    Ref: core/GraphLoader.java withLabel/withRelationshipType."""
+    from linkgraph.loader import GraphLoader
+
+    docs = load_documents(spark, sf_dir)
+    e = doc_edges(spark, sf_dir).withColumn(
+        "rel_type",
+        F.when((F.col("src") * 7 + F.col("dst")) % 3 == 0, F.lit("cites")).otherwise(
+            F.lit("links")
+        ),
+    )
+    g = (
+        GraphLoader()
+        .with_nodes(docs, id_col="doc_id", label_col="lang")
+        .with_relationships(e, type_col="rel_type")
+        .with_label("en", "de")
+        .with_relationship_type("cites")
+        .load()
+    )
+    return g.degrees(direction="BOTH").select(
+        "id", F.col("degree").cast("long").alias("both_degree")
+    )
+
+
+def sql_doc_subgraph_degree() -> str:
+    return (
+        _PROLOG
+        + """, fn AS MATERIALIZED (SELECT doc_id AS id FROM documents WHERE lang IN ('en','de'))
+, fe AS MATERIALIZED (
+  SELECT e.src, e.dst FROM edges e
+  JOIN fn a ON e.src = a.id JOIN fn b ON e.dst = b.id
+  WHERE (e.src * 7 + e.dst) % 3 = 0)
+, fue AS (SELECT src, dst FROM fe UNION SELECT dst, src FROM fe)
+SELECT fn.id, CAST(COALESCE(d.c, 0) AS BIGINT) AS both_degree
+FROM fn LEFT JOIN (SELECT src, COUNT(*) AS c FROM fue GROUP BY src) d ON fn.id = d.src"""
+    )
+
+
 # ---------------------------------------------------------- triangle stream
 def q_doc_triangle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.algorithms.triangles import triangle_stream
@@ -1588,6 +1630,7 @@ QUERIES = {
     "doc_triangle_stream": q_doc_triangle_stream,
     "doc_degree": q_doc_degree,
     "doc_degree_weighted": q_doc_degree_weighted,
+    "doc_subgraph_degree": q_doc_subgraph_degree,
     "doc_linkpred": q_doc_linkpred,
     "doc_same_community": q_doc_same_community,
     "user_jaccard_topk": q_user_jaccard_topk,
@@ -1657,6 +1700,7 @@ ORACLES = {
     "doc_triangle_stream": sql_doc_triangle_stream(),
     "doc_degree": sql_doc_degree(),
     "doc_degree_weighted": sql_doc_degree_weighted(),
+    "doc_subgraph_degree": sql_doc_subgraph_degree(),
     "doc_linkpred": sql_doc_linkpred(),
     "doc_same_community": sql_doc_same_community(),
     "user_jaccard_topk": sql_user_jaccard_topk(),

@@ -179,3 +179,42 @@ def test_block_store_validation(spark, tmp_path):
     # layout mismatch rejected
     with _pytest.raises(ValueError, match="layout"):
         PageRank(max_iterations=3, strategy="pull", block_store=path).run(g)
+
+
+def test_graph_loader_typed_subgraph(spark):
+    """GraphLoader label/type filters produce the induced subgraph."""
+    from linkgraph.loader import GraphLoader, subgraph
+
+    nodes = spark.createDataFrame(
+        [(0, "en"), (1, "en"), (2, "de"), (3, "fr"), (4, "en")],
+        "id long, lang string",
+    )
+    edges = spark.createDataFrame(
+        [
+            (0, 1, "cites"),  # kept: both en
+            (1, 2, "cites"),  # kept: en-de
+            (2, 3, "cites"),  # dropped: 3 is fr
+            (0, 4, "links"),  # dropped: wrong type
+            (4, 0, "cites"),  # kept
+        ],
+        "src long, dst long, rel_type string",
+    )
+    g = (
+        GraphLoader()
+        .with_nodes(nodes, id_col="id", label_col="lang")
+        .with_relationships(edges, type_col="rel_type")
+        .with_label("en", "de")
+        .with_relationship_type("cites")
+        .load()
+    )
+    kept = {(r.src, r.dst) for r in g.edges.collect()}
+    assert kept == {(0, 1), (1, 2), (4, 0)}
+    assert {r.id for r in g.nodes.collect()} == {0, 1, 2, 4}
+
+    # induced subgraph of an existing graph: drop node 2
+    g2 = subgraph(g, node_pred="id <> 2")
+    assert {(r.src, r.dst) for r in g2.edges.collect()} == {(0, 1), (4, 0)}
+
+    # edge predicate only
+    g3 = subgraph(g, edge_pred="src = 0")
+    assert {(r.src, r.dst) for r in g3.edges.collect()} == {(0, 1)}
