@@ -238,32 +238,46 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_planes: int = 8,
+    num_bands: int = 8,
     seed: int = 42,
 ) -> DataFrame:
     """(a, b, cosine) pairs above a cosine threshold, LSH-blocked.
 
-    Random-hyperplane signature: ``num_planes`` seeded Gaussian hyperplanes
-    (Charikar SimHash for vectors) bucket the corpus via an Arrow-vectorized
-    projection; the pair join runs within buckets only, then exact cosine.
+    Random-hyperplane LSH (Charikar SimHash for vectors) with OR-amplified
+    banding: ``num_bands`` independent bands of ``num_planes`` seeded Gaussian
+    hyperplanes each. A pair is a candidate if it shares a bucket in ANY
+    band — recall for a pair at angle θ is 1-(1-(1-θ/π)^planes)^bands
+    (≈0.9998 at cosine 0.98 with the 8×8 default vs 0.59 for a single band).
+    Candidates come from an equi-join on (band, bucket) — never a cross
+    join — then an exact JVM-side cosine filter (zero false positives).
     """
-    rng = np.random.RandomState(seed)
 
-    @pandas_udf("long")
-    def bucket_udf(vecs: pd.Series) -> pd.Series:
+    @pandas_udf("array<long>")
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
         x = np.array(vecs.tolist(), dtype=np.float64)
-        planes = rng.__class__(seed).normal(size=(x.shape[1], num_planes))
-        signs = (x @ planes) >= 0
+        planes = np.random.RandomState(seed).normal(
+            size=(x.shape[1], num_planes * num_bands)
+        )
+        signs = (x @ planes) >= 0  # (n, planes*bands)
         powers = (1 << np.arange(num_planes)).astype(np.int64)
-        return pd.Series((signs @ powers).astype(np.int64))
+        out = np.empty((x.shape[0], num_bands), dtype=np.int64)
+        for band in range(num_bands):
+            blk = signs[:, band * num_planes : (band + 1) * num_planes]
+            out[:, band] = blk @ powers
+        return pd.Series(list(out))
 
     sig = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        bucket_udf(F.col(vec_col)).alias("bucket"),
+        F.posexplode(buckets_udf(F.col(vec_col))).alias("band", "bucket"),
     )
-    a = sig.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
-    b = sig.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
-    pairs = a.join(b, "bucket").filter(F.col("a") < F.col("b"))
+    a = sig.select(F.col("id").alias("a"), F.col("v").alias("va"), "band", "bucket")
+    b = sig.select(F.col("id").alias("b"), F.col("v").alias("vb"), "band", "bucket")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

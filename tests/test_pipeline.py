@@ -136,6 +136,31 @@ def test_embedding_near_duplicates(spark):
     assert all(3 not in pair for pair in got)
 
 
+def test_embedding_near_dup_recall_precision(spark):
+    """Planted-duplicate corpus: banded hyperplane LSH must recover every
+    pair above threshold (recall) and report only true pairs (precision)."""
+    from linkgraph.pipeline.dedup import embedding_near_duplicates
+
+    rng = np.random.RandomState(7)
+    d, n_planted = 32, 20
+    rows, truth = [], set()
+    for i in range(n_planted):
+        v = rng.normal(size=d)
+        v /= np.linalg.norm(v)
+        w = v + 0.02 * rng.normal(size=d)  # cosine ≈ 0.9998
+        rows.append((2 * i, v.tolist()))
+        rows.append((2 * i + 1, (w / np.linalg.norm(w)).tolist()))
+        truth.add((2 * i, 2 * i + 1))
+    for j in range(100):  # unrelated background
+        u = rng.normal(size=d)
+        rows.append((1000 + j, (u / np.linalg.norm(u)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = embedding_near_duplicates(emb, threshold=0.98).collect()
+    pairs = {(r["a"], r["b"]) for r in got}
+    assert pairs == truth  # full recall AND precision
+    assert all(r["cosine"] >= 0.98 for r in got)
+
+
 def test_pearson_lists_vs_numpy(spark):
     from linkgraph.functions.similarities import pearson_lists
 
