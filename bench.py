@@ -90,7 +90,25 @@ def main() -> None:
     timings["pagerank_powerlaw_pull_total"] = round(time.time() - t0, 3)
     pull_loop = sum(prp.metrics.superstep_millis) / 1000.0
     timings["pagerank_powerlaw_pull_loop"] = round(pull_loop, 3)
-    edges_per_sec = n_edges * supersteps / min(loop_sec, pull_loop)
+
+    # steady-state throughput per strategy — same methodology as
+    # BENCH/BASELINE.md (median of post-warmup supersteps; this host's CPU
+    # ramps 4-12x over the first 1-2 invocations of a kernel)
+    import statistics
+
+    def steady_eps(metrics) -> float:
+        ms = metrics.superstep_millis
+        tail = ms[3:] if len(ms) > 5 else ms
+        return n_edges / (statistics.median(tail) / 1000.0)
+
+    csr_steady = steady_eps(pr.metrics)
+    pull_steady = steady_eps(prp.metrics)
+    timings["pagerank_steady_csr_eps"] = round(csr_steady, 1)
+    timings["pagerank_steady_pull_eps"] = round(pull_steady, 1)
+    timings["pagerank_loop_eps"] = round(
+        n_edges * supersteps / min(loop_sec, pull_loop), 1
+    )
+    edges_per_sec = max(csr_steady, pull_steady)
 
     out = {
         "metric": "pagerank_edges_per_sec",
