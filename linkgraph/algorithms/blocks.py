@@ -59,6 +59,21 @@ _PUSH_RAW = "w_raw"  # raw (un-normalized) weights; used by weighted Dijkstra
 _PULL_ARRAYS = ["src", "slice_pos", "w_norm"]
 
 
+EDGES_PER_BLOCK = 1 << 18  # ≥256k edges per block: real numpy work per task
+
+
+def auto_num_blocks(edges, parallelism: int) -> int:
+    """Size the block count by edge VOLUME, capped by parallelism.
+
+    Core-count-sized blocks are wrong at both ends: a 50k-edge graph split
+    32 ways is pure scheduler overhead (tasks of ~150 nodes), and at 100 TB
+    the cap keeps one block per core. Mirrors Spark's own
+    `files.maxPartitionBytes` sizing logic, applied to CSR blocks.
+    """
+    n_e = edges.count()
+    return max(1, min(int(parallelism), -(-n_e // EDGES_PER_BLOCK)))
+
+
 def _save_atomic(path: str, name: str, arr: np.ndarray) -> None:
     tmp = os.path.join(path, f".{name}.tmp.npy")
     np.save(tmp, arr)

@@ -135,7 +135,7 @@ class PageRank:
             if self.weighted
             else graph.edges.withColumn("weight", F.lit(1.0))
         )
-        b = self.num_blocks or sc.defaultParallelism
+        b = self.num_blocks or blocks.auto_num_blocks(edges, sc.defaultParallelism)
 
         node_pd = self._teleport(graph.nodes).toPandas()
         n = len(node_pd)
@@ -221,7 +221,9 @@ class PageRank:
         denom = None
         block_path = None
         owns_blocks = False
-        b = self.num_blocks or edges.sparkSession.sparkContext.defaultParallelism
+        b = self.num_blocks or blocks.auto_num_blocks(
+            edges, edges.sparkSession.sparkContext.defaultParallelism
+        )
         if self.strategy == "csr":
             # materialize the CSR block store once (worker-resident thereafter)
             block_path = self.block_store
