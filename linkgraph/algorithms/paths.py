@@ -402,7 +402,8 @@ def minimum_spanning_forest(graph: Graph, maximum: bool = False) -> DataFrame:
             .select("src", "dst", "weight", "c1", "c2")
             .localCheckpoint(eager=True)
         )
-        if picks.isEmpty():
+        n_picks = picks.count()
+        if n_picks == 0:
             break
         # two components may pick the same edge — dedup within the round;
         # across rounds an edge cannot recur (its endpoints share a comp)
@@ -410,13 +411,24 @@ def minimum_spanning_forest(graph: Graph, maximum: bool = False) -> DataFrame:
         forest = (
             new_edges if forest is None else forest.unionByName(new_edges)
         ).localCheckpoint(eager=True)
-        # contract: connected components of the comp-merge graph
-        merge_graph = Graph.from_edges(
-            picks.select(F.col("c1").alias("src"), F.col("c2").alias("dst"))
-        )
-        mapping = _wcc(merge_graph).select(
-            F.col("id").alias("comp_old"), F.col("component").alias("comp_new")
-        )
+        # contract: connected components of the comp-merge graph. One pick
+        # per component, so the merge graph has ≤ #components edges — when
+        # that is driver-sized, a numpy union-find beats ~10 distributed WCC
+        # jobs (same hybrid as Louvain's coarsened levels); the distributed
+        # WCC remains the path for the first rounds at 10^9-component scale.
+        if n_picks <= 2_000_000:
+            from linkgraph.algorithms.wcc import union_find_mapping
+
+            mapping = union_find_mapping(picks.select("c1", "c2"), spark).select(
+                F.col("id").alias("comp_old"), F.col("component").alias("comp_new")
+            )
+        else:
+            merge_graph = Graph.from_edges(
+                picks.select(F.col("c1").alias("src"), F.col("c2").alias("dst"))
+            )
+            mapping = _wcc(merge_graph).select(
+                F.col("id").alias("comp_old"), F.col("component").alias("comp_new")
+            )
         comp = (
             comp.join(mapping, comp.comp == mapping.comp_old, "left")
             .select("id", F.coalesce("comp_new", "comp").alias("comp"))
@@ -441,8 +453,19 @@ def k_spanning_tree(graph: Graph, k: int, maximum: bool = False) -> DataFrame:
     forest = minimum_spanning_forest(graph, maximum=maximum).persist()
     order = F.asc("weight") if maximum else F.desc("weight")
     cuts = forest.orderBy(order, F.asc("src"), F.asc("dst")).limit(max(k - 1, 0))
-    kept = forest.join(cuts, ["src", "dst"], "left_anti")
-    g2 = Graph.from_edges(kept, nodes=graph.nodes.select("id"))
-    out = _wcc(g2).select("id", F.col("component").alias("cluster"))
+    kept = forest.join(cuts, ["src", "dst"], "left_anti").localCheckpoint(eager=True)
+    # tree has n-1 edges; hybrid labeling like the Borůvka contraction
+    if kept.count() <= 2_000_000:
+        from linkgraph.algorithms.wcc import union_find_mapping
+
+        mapping = union_find_mapping(kept.select("src", "dst"))
+        out = (
+            graph.nodes.select("id")
+            .join(mapping, "id", "left")
+            .select("id", F.coalesce("component", "id").alias("cluster"))
+        )
+    else:
+        g2 = Graph.from_edges(kept, nodes=graph.nodes.select("id"))
+        out = _wcc(g2).select("id", F.col("component").alias("cluster"))
     forest.unpersist()
     return out

@@ -115,6 +115,52 @@ def wcc(
     return out
 
 
+def union_find_mapping(pairs_df: DataFrame, spark=None) -> DataFrame:
+    """Driver-side union-find over a DRIVER-SIZED pair DataFrame (src, dst)
+    → broadcastable mapping (id, component), component = min member id.
+
+    The hybrid small-side of the Kiveris WCC: contraction graphs (Borůvka
+    merge rounds, cut spanning trees, Louvain coarsenings) shrink
+    geometrically, and once they fit on the driver a numpy union-find
+    replaces ~10 distributed fixpoint jobs. Callers must bound the input
+    (count it first); the distributed `wcc` stays the path at scale.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = spark or pairs_df.sparkSession
+    pdf = pairs_df.toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], "id long, component long")
+    pairs = pdf.to_numpy(dtype=np.int64)
+    uniq = np.unique(pairs)
+    idx = {int(v): i for i, v in enumerate(uniq)}
+    parent = np.arange(len(uniq))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(idx[int(a)]), find(idx[int(b)])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = np.array([find(i) for i in range(len(uniq))])
+    root_min: dict = {}
+    for i, r in enumerate(roots):
+        v = int(uniq[i])
+        root_min[r] = min(root_min.get(r, v), v)
+    return F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"id": uniq, "component": [root_min[r] for r in roots]}
+            )
+        )
+    )
+
+
 def wcc_stats(components: DataFrame) -> DataFrame:
     """Write-mode summary row: communityCount + size percentiles.
 
