@@ -1404,6 +1404,56 @@ FROM fn LEFT JOIN (SELECT src, COUNT(*) AS c FROM fue GROUP BY src) d ON fn.id =
     )
 
 
+# ------------------------------------------------- stateful streaming (ANP)
+def q_stream_distinct_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running-distinct-degree over the doc edges
+    replayed as a file stream; final state must equal batch COUNT(DISTINCT).
+    """
+    import shutil
+    import tempfile
+
+    from linkgraph.streaming import stateful_distinct_degree
+
+    tmp = tempfile.mkdtemp(prefix="linkgraph_stream_")
+    try:
+        src_dir = f"{tmp}/edges"
+        e = doc_edges(spark, sf_dir)
+        e.write.parquet(src_dir)
+        e.write.mode("append").parquet(src_dir)  # replay: state must dedup
+        stream = spark.readStream.schema("src long, dst long").parquet(src_dir)
+        final: dict = {}
+
+        def collect_batch(df: DataFrame, _bid: int) -> None:
+            for r in df.collect():  # update mode: later batches overwrite
+                final[r["src"]] = (r["distinct_neighbors"], r["total_edges"])
+
+        q = (
+            stateful_distinct_degree(stream)
+            .writeStream.foreachBatch(collect_batch)
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = [(k, v[0], v[1]) for k, v in final.items()]
+        return spark.createDataFrame(
+            rows, "src long, distinct_neighbors long, total_edges long"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def sql_stream_distinct_degree() -> str:
+    return (
+        _PROLOG
+        + """
+SELECT src, CAST(COUNT(DISTINCT dst) AS BIGINT) AS distinct_neighbors,
+       CAST(2 * COUNT(*) AS BIGINT) AS total_edges
+FROM edges GROUP BY src"""
+    )
+
+
 # ---------------------------------------------------------- triangle stream
 def q_doc_triangle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.algorithms.triangles import triangle_stream
@@ -1650,6 +1700,7 @@ QUERIES = {
     "doc_degree": q_doc_degree,
     "doc_degree_weighted": q_doc_degree_weighted,
     "doc_subgraph_degree": q_doc_subgraph_degree,
+    "stream_distinct_degree": q_stream_distinct_degree,
     "doc_linkpred": q_doc_linkpred,
     "doc_same_community": q_doc_same_community,
     "user_jaccard_topk": q_user_jaccard_topk,
@@ -1720,6 +1771,7 @@ ORACLES = {
     "doc_degree": sql_doc_degree(),
     "doc_degree_weighted": sql_doc_degree_weighted(),
     "doc_subgraph_degree": sql_doc_subgraph_degree(),
+    "stream_distinct_degree": sql_stream_distinct_degree(),
     "doc_linkpred": sql_doc_linkpred(),
     "doc_same_community": sql_doc_same_community(),
     "user_jaccard_topk": sql_user_jaccard_topk(),

@@ -60,6 +60,116 @@ def windowed_edge_degrees(
     )
 
 
+def stateful_distinct_degree(
+    edges: DataFrame,
+    max_exact: int = 100_000,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Per-source running DISTINCT neighbor count over an unbounded edge
+    stream — a custom stateful operator via `applyInPandasWithState`.
+
+    State per src: the exact neighbor-id set while it is ≤ ``max_exact``,
+    then a degraded exact-count-stops marker (count keeps rising with
+    possible overcount bounded by duplicates arriving after the cap) —
+    bounded state per key by construction. Built-in streaming aggs cannot
+    express running COUNT(DISTINCT) in update mode without unbounded
+    shuffle state per micro-batch; per-key Arrow state can.
+
+    → update-mode stream of (src, distinct_neighbors, total_edges, exact)
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "src long, distinct_neighbors long, total_edges long, exact boolean"
+    )
+    state_schema = "neighbors array<long>, total long, exact boolean"
+
+    def update(key, pdfs, state):
+        (src,) = key
+        if state.exists:
+            neighbors, total, exact = state.get
+            seen = set(neighbors)
+        else:
+            seen, total, exact = set(), 0, True
+        for pdf in pdfs:
+            total += len(pdf)
+            if exact:
+                seen.update(int(d) for d in pdf["dst"])
+                if len(seen) > max_exact:
+                    exact = False
+        state.update((sorted(seen), total, exact))
+        yield pd.DataFrame(
+            {
+                "src": [src],
+                "distinct_neighbors": [len(seen)],
+                "total_edges": [total],
+                "exact": [exact],
+            }
+        )
+
+    tmo = {
+        "NoTimeout": GroupStateTimeout.NoTimeout,
+        "ProcessingTimeTimeout": GroupStateTimeout.ProcessingTimeTimeout,
+        "EventTimeTimeout": GroupStateTimeout.EventTimeTimeout,
+    }[timeout]
+    return edges.groupBy("src").applyInPandasWithState(
+        update, out_schema, state_schema, "update", tmo
+    )
+
+
+def incremental_wcc(
+    edge_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+):
+    """Incremental connected components over an edge stream (foreachBatch).
+
+    Classic incremental CC: the persisted (id, component) mapping is itself
+    a star graph (id→component edges); per micro-batch, union it with the
+    batch's new edges and re-run the batch Kiveris `wcc` on that union —
+    cost scales with the DELTA plus one edge per known node, not the full
+    history. The mapping is parquet-persisted (atomic dir swap) so the
+    query resumes from checkpoint with state intact.
+
+    Returns the StreamingQuery (availableNow drains what exists).
+    """
+    import os
+    import shutil
+
+    from linkgraph.algorithms.wcc import wcc as _wcc
+    from linkgraph.graph import Graph
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new_edges = batch_df.select("src", "dst")
+        cur = os.path.join(state_dir, "current")
+        if os.path.exists(cur):
+            prior = spark.read.parquet(cur).select(
+                F.col("id").alias("src"), F.col("component").alias("dst")
+            )
+            union = new_edges.unionByName(prior)
+        else:
+            union = new_edges
+        g = Graph.from_edges(union)
+        mapping = _wcc(g).select("id", "component")
+        nxt = os.path.join(state_dir, f"v{batch_id}")
+        mapping.write.mode("overwrite").parquet(nxt)
+        old = os.path.join(state_dir, "_old")
+        if os.path.exists(cur):
+            os.rename(cur, old)
+        os.rename(nxt, cur)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        edge_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> list:

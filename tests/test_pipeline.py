@@ -286,3 +286,78 @@ def test_streaming_windowed_degrees(spark, tmp_path):
     assert by_key[(0, 0)] == (2, 2.0)
     assert by_key[(0, 1)] == (1, 2.0)
     assert by_key[(3, 0)] == (1, 1.0)
+
+
+def test_stateful_distinct_degree(spark, tmp_path):
+    """applyInPandasWithState distinct-degree: state accumulates across a
+    query restart (same checkpoint), duplicates don't inflate the count."""
+    from linkgraph.streaming import stateful_distinct_degree
+
+    src_dir = str(tmp_path / "edges_stream")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 1), (1, 2)], "src long, dst long"
+    )
+    batch1.write.parquet(src_dir)
+
+    def drain(name):
+        rows = []
+        stream = spark.readStream.schema("src long, dst long").parquet(src_dir)
+        q = (
+            stateful_distinct_degree(stream)
+            .writeStream.foreachBatch(
+                lambda df, _bid: rows.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r["src"]: (r["distinct_neighbors"], r["total_edges"], r["exact"])
+            for r in rows
+        }
+
+    got1 = drain("sd1")
+    assert got1[0] == (2, 3, True)  # dup (0,1) counted once distinct
+    assert got1[1] == (1, 1, True)
+
+    # second file arrives; restart from the same checkpoint → state restored
+    spark.createDataFrame([(0, 3), (0, 2), (2, 0)], "src long, dst long").write.mode(
+        "append"
+    ).parquet(src_dir)
+    got2 = drain("sd2")
+    assert got2[0] == (3, 5, True)  # 1,2,3 distinct; 5 total edges ever
+    assert got2[2] == (1, 1, True)
+
+
+def test_incremental_wcc_matches_batch(spark, tmp_path):
+    """foreachBatch incremental WCC equals batch WCC over the full history."""
+    from linkgraph.algorithms.wcc import wcc as batch_wcc
+    from linkgraph.graph import Graph
+    from linkgraph.streaming import incremental_wcc
+
+    src_dir = str(tmp_path / "iwcc_stream")
+    state = str(tmp_path / "iwcc_state")
+    ckpt = str(tmp_path / "iwcc_ckpt")
+    b1 = [(0, 1), (2, 3), (4, 5)]
+    b2 = [(1, 2), (6, 7)]  # merges {0,1} with {2,3}
+
+    spark.createDataFrame(b1, "src long, dst long").write.parquet(src_dir)
+    stream = spark.readStream.schema("src long, dst long").parquet(src_dir)
+    incremental_wcc(stream, state, ckpt).awaitTermination()
+
+    spark.createDataFrame(b2, "src long, dst long").write.mode("append").parquet(src_dir)
+    stream = spark.readStream.schema("src long, dst long").parquet(src_dir)
+    incremental_wcc(stream, state, ckpt).awaitTermination()
+
+    got = {
+        r["id"]: r["component"]
+        for r in spark.read.parquet(str(tmp_path / "iwcc_state" / "current")).collect()
+    }
+    full = spark.createDataFrame(b1 + b2, "src long, dst long")
+    want = {
+        r["id"]: r["component"] for r in batch_wcc(Graph.from_edges(full)).collect()
+    }
+    assert got == want
