@@ -331,21 +331,39 @@ def _build_pull_writer(path: str, num_blocks: int):
 
 
 def write_pull_blocks(
-    edges: DataFrame, num_blocks: int, path: str, weighted: bool | None = None
+    edges: DataFrame,
+    num_blocks: int,
+    path: str,
+    weighted: bool | None = None,
+    denom_add: float = 0.0,
+    normalize: bool = True,
 ) -> None:
     """edges(src,dst,weight) → CSC store under `path/part=K/*.npy`.
 
-    w_norm = w/W(src) via one DataFrame join (src degrees are global here,
-    unlike the src-partitioned push build where they're partition-local).
+    w_norm = w/(W(src)+denom_add) via one DataFrame join (src degrees are
+    global here, unlike the src-partitioned push build where they're
+    partition-local). `denom_add` bakes ArticleRank's `outdeg + avgdeg`
+    denominator into the store; `normalize=False` stores raw weights
+    (eigenvector power iteration).
     """
     os.makedirs(path, exist_ok=True)
-    wsum = edges.groupBy("src").agg(F.sum("weight").alias("_wsum"))
-    e = edges.join(wsum, "src").select(
-        "src",
-        "dst",
-        (F.col("weight") / F.col("_wsum")).alias("w_norm"),
-        F.pmod(F.col("dst"), F.lit(num_blocks)).cast("int").alias("part"),
-    )
+    if normalize:
+        wsum = edges.groupBy("src").agg(F.sum("weight").alias("_wsum"))
+        e = edges.join(wsum, "src").select(
+            "src",
+            "dst",
+            (F.col("weight") / (F.col("_wsum") + F.lit(float(denom_add)))).alias(
+                "w_norm"
+            ),
+            F.pmod(F.col("dst"), F.lit(num_blocks)).cast("int").alias("part"),
+        )
+    else:
+        e = edges.select(
+            "src",
+            "dst",
+            F.col("weight").alias("w_norm"),
+            F.pmod(F.col("dst"), F.lit(num_blocks)).cast("int").alias("part"),
+        )
     manifest = e.groupBy("part").applyInPandas(
         _build_pull_writer(path, num_blocks), schema="part int, n_edge long"
     )

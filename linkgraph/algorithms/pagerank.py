@@ -316,6 +316,53 @@ def pagerank(graph: Graph, **kwargs) -> DataFrame:
     return PageRank(**kwargs).run(graph)
 
 
+def _contiguous_n(nodes: DataFrame) -> int | None:
+    """n if node ids are exactly 0..n-1 (pull-strategy precondition)."""
+    row = nodes.agg(
+        F.count("id").alias("c"), F.min("id").alias("mn"), F.max("id").alias("mx")
+    ).first()
+    if row["c"] and row["mn"] == 0 and row["mx"] == row["c"] - 1:
+        return int(row["c"])
+    return None
+
+
+def _pull_power_iteration(
+    edges: DataFrame,
+    n: int,
+    max_iterations: int,
+    step,
+    denom_add: float = 0.0,
+    normalize: bool = True,
+    tolerance: float | None = None,
+):
+    """Shared CSC-block power-iteration driver: build the pull store once
+    (one shuffle), then zero-shuffle supersteps; `step(p, contrib)` returns
+    the next vector. Returns the final numpy vector."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    sc = edges.sparkSession.sparkContext
+    b = blocks.auto_num_blocks(edges, sc.defaultParallelism)
+    path = tempfile.mkdtemp(prefix="linkgraph_pullpi_")
+    try:
+        blocks.write_pull_blocks(
+            edges, b, path, denom_add=denom_add, normalize=normalize
+        )
+        p = np.ones(n)
+        for _ in range(max_iterations):
+            contrib = blocks.pull_superstep(sc, path, b, n, p)
+            p_new = step(p, contrib)
+            delta = float(np.abs(p_new - p).max())
+            p = p_new
+            if tolerance is not None and delta < tolerance:
+                break
+        return p
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def article_rank(
     graph: Graph,
     damping: float = 0.85,
@@ -326,6 +373,8 @@ def article_rank(
 
     Reference: `algo/.../ArticleRankProc.java` (variant compute step in
     impl/pagerank/). Contribution = p(u) / (outdeg(u) + mean outdeg).
+    Runs on the shared CSC-block engine (denominator baked into w_norm at
+    store build: w/(W+avgdeg)) when ids are contiguous; join loop otherwise.
     """
     edges, nodes = graph.edges, graph.nodes.select("id")
     outdeg = edges.groupBy(F.col("src").alias("id")).agg(
@@ -335,6 +384,24 @@ def article_rank(
     # reference divides by total node count, so dangling nodes lower it)
     n_nodes = nodes.count()
     avg_deg = (outdeg.agg(F.sum("deg")).first()[0] or 0.0) / max(n_nodes, 1)
+
+    n = _contiguous_n(nodes)
+    if n:
+        import numpy as np
+        import pandas as pd
+
+        p = _pull_power_iteration(
+            edges.select("src", "dst").withColumn("weight", F.lit(1.0)),
+            n,
+            max_iterations,
+            step=lambda p, c: (1.0 - damping) + damping * c,
+            denom_add=avg_deg,
+            tolerance=tolerance,
+        )
+        return edges.sparkSession.createDataFrame(
+            pd.DataFrame({"id": np.arange(n), "rank": p})
+        )
+
     ranks = nodes.select("id", F.lit(1.0).alias("rank"))
     converged = False
     for _ in range(max_iterations):
@@ -382,8 +449,35 @@ def eigenvector_centrality(
 
     Reference: `algo/.../EigenvectorCentralityProc.java`; per-step L2
     stabilization, final `normalization: none|max|l1norm|l2norm`.
+    Runs on the shared CSC-block engine (raw weights, per-step L2 in numpy)
+    when ids are contiguous; join loop otherwise.
     """
     edges, nodes = graph.edges, graph.nodes.select("id")
+
+    n = _contiguous_n(nodes)
+    if n:
+        import numpy as np
+        import pandas as pd
+
+        def step(p, c):
+            norm = float(np.sqrt((c * c).sum())) or 1.0
+            return c / norm
+
+        p = _pull_power_iteration(
+            edges.select("src", "dst").withColumn("weight", F.lit(1.0)),
+            n,
+            max_iterations,
+            step=step,
+            normalize=False,
+        )
+        if normalization == "max":
+            p = p / (p.max() or 1.0)
+        elif normalization == "l1norm":
+            p = p / (p.sum() or 1.0)
+        return edges.sparkSession.createDataFrame(
+            pd.DataFrame({"id": np.arange(n), "rank": p})
+        )
+
     ranks = nodes.select("id", F.lit(1.0).alias("rank"))
     for _ in range(max_iterations):
         contribs = (
