@@ -71,8 +71,15 @@ def infomap(
             f"lpa) or raise driver_threshold explicitly."
         )
     # flow: distributed PageRank visit rates, normalized to Σp = 1
+    # (pull/CSC fast path when ids are contiguous — zero shuffle/superstep)
+    from linkgraph.algorithms.pagerank import _contiguous_n
+
+    strat = "pull" if _contiguous_n(graph.nodes.select("id")) else "csr"
     ranks = PageRank(
-        damping=damping, max_iterations=pr_iterations, weighted=weighted
+        damping=damping,
+        max_iterations=pr_iterations,
+        weighted=weighted,
+        strategy=strat,
     ).run(graph)
     rpdf = ranks.select("id", "rank").toPandas()
     epdf = graph.edges.filter(F.col("src") != F.col("dst")).select(
