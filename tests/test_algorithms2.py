@@ -310,3 +310,28 @@ def test_mst_doc_graph_vs_kruskal(spark):
         want_w, want_n = np_kruskal_weight(triples, maximum=maximum)
         assert len(got) == want_n
         assert sum(r["weight"] for r in got) == _pytest.approx(want_w)
+
+
+def test_balanced_triads_golden(spark):
+    """Signed K4: triads with positive sign-product are balanced.
+
+    Edges: 0-1:+, 0-2:+, 0-3:-, 1-2:-, 1-3:+, 2-3:+
+    Triads: (0,1,2): + + - → unbalanced; (0,1,3): + - + → unbalanced;
+            (0,2,3): + - + → unbalanced; (1,2,3): - + + → unbalanced.
+    Flip 1-2 to +: (0,1,2) becomes + + + balanced.
+    """
+    from linkgraph.algorithms.triangles import balanced_triads
+    from linkgraph.graph import Graph
+    from tests.conftest import edges_df
+
+    e = edges_df(
+        spark,
+        [(0, 1, 1.0), (0, 2, 1.0), (0, 3, -1.0), (1, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0)],
+    )
+    g = Graph.from_edges(e)
+    got = {r["id"]: (r["balanced"], r["unbalanced"]) for r in balanced_triads(g).collect()}
+    # triads: (0,1,2)=+++ bal; (0,1,3)=+-+ unbal; (0,2,3)=+-+ unbal; (1,2,3)=+++ bal
+    assert got[0] == (1, 2)
+    assert got[1] == (2, 1)
+    assert got[2] == (2, 1)
+    assert got[3] == (1, 2)
