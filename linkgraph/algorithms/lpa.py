@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from linkgraph.graph import Graph
+from linkgraph.io import CheckpointManager
 
 
 def label_propagation(
@@ -27,8 +28,14 @@ def label_propagation(
     weighted: bool = True,
     direction: str = "BOTH",
     run_to_convergence: bool = True,
+    checkpoint: CheckpointManager | None = None,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
-    """→ (id, label); stops early when no label changes (didConverge)."""
+    """→ (id, label); stops early when no label changes (didConverge).
+
+    With `checkpoint`, the label DataFrame is durably written every
+    `checkpoint_every` iterations and a fresh call resumes mid-run from
+    the latest snapshot (same contract as PageRank/WCC resume)."""
     if direction == "BOTH":
         edges = graph.undirected_edges()
     else:
@@ -42,12 +49,17 @@ def label_propagation(
         )
     else:
         labels = nodes.select("id", F.col("id").alias("label"))
+    start_step = 0
+    if checkpoint is not None:
+        latest = checkpoint.latest()
+        if latest is not None:
+            start_step, labels, _meta = latest
     labels = labels.localCheckpoint(eager=True)
 
     w_expr = F.sum("weight") if weighted else F.count(F.lit(1)).cast("double")
     win = Window.partitionBy("dst").orderBy(F.desc("w"), F.asc("label"))
 
-    for _ in range(max_iterations):
+    for step in range(start_step, max_iterations):
         votes = (
             edges.join(labels, edges.src == labels.id)
             .groupBy("dst", "label")
@@ -75,6 +87,10 @@ def label_propagation(
             )
         else:
             changed = 1
+        if checkpoint is not None and (step + 1) % checkpoint_every == 0:
+            new_labels = checkpoint.write(
+                new_labels, step + 1, {"iteration": step + 1, "changed": changed}
+            )
         labels.unpersist()
         labels = new_labels
         if run_to_convergence and changed == 0:

@@ -121,3 +121,21 @@ def test_triangles_direction_invariant(spark):
     g = Graph.from_edges(edges_df(spark, doubled), nodes=nodes_df(spark, TRI_IDS))
     row = triangle_count_global(g).first()
     assert row["triangleCount"] == 2
+
+
+def test_lpa_checkpoint_resume(spark, tmp_path):
+    from linkgraph.io import CheckpointManager
+    from linkgraph.algorithms.lpa import label_propagation
+
+    edges = [(i, i + 1, 1.0) for i in range(12)] + [(20, 21, 1.0), (21, 22, 1.0)]
+    g = Graph.from_edges(edges_df(spark, edges))
+    full = {r["id"]: r["label"]
+            for r in label_propagation(g, max_iterations=8).collect()}
+    ck = CheckpointManager(spark, str(tmp_path / "lpa_ck"))
+    # interrupted after 2 of 8 iterations, snapshot every iteration
+    label_propagation(g, max_iterations=2, checkpoint=ck, checkpoint_every=1,
+                      run_to_convergence=False)
+    resumed = {r["id"]: r["label"]
+               for r in label_propagation(g, max_iterations=8, checkpoint=ck,
+                                          checkpoint_every=1).collect()}
+    assert resumed == full
