@@ -39,6 +39,7 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "algo.spanningTree.minimum": ("linkgraph.algorithms.paths.minimum_spanning_forest", "min spanning forest (Boruvka)"),
     "algo.spanningTree.maximum": ("linkgraph.algorithms.paths.minimum_spanning_forest", "max spanning forest (maximum=True)"),
     "algo.spanningTree.kmin": ("linkgraph.algorithms.paths.k_spanning_tree", "k-cluster spanning tree (cut k-1 heaviest MST edges)"),
+    "algo.spanningTree.kmax": ("linkgraph.algorithms.paths.k_spanning_tree", "k-cluster max spanning tree (maximum=True)"),
     "algo.randomWalk.stream": ("linkgraph.algorithms.randomwalk.random_walks", "random / node2vec walks"),
     "algo.similarity.jaccard": ("linkgraph.algorithms.similarity.jaccard", "set jaccard, inverted-index join, topK/cutoffs"),
     "algo.similarity.overlap": ("linkgraph.algorithms.similarity.overlap", "set overlap similarity"),

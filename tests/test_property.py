@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis): random graphs vs independent
+pure-python oracles. Few examples per property — each example spins Spark
+jobs — but seeds vary across runs, widening coverage over time."""
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from linkgraph.graph import Graph
+from tests.conftest import edges_df
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def random_edges(draw, max_n=12, max_m=25):
+    n = draw(st.integers(2, max_n))
+    m = draw(st.integers(1, max_m))
+    pairs = draw(
+        st.lists(
+            st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+            min_size=m,
+            max_size=m,
+        )
+    )
+    return n, [(a, b, 1.0) for a, b in pairs if a != b]
+
+
+@st.composite
+def graphs(draw):
+    return random_edges(draw)
+
+
+def _uf_components(n, edges):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min member id
+    comp = {}
+    for v in range(n):
+        r = find(v)
+        comp.setdefault(r, []).append(v)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for v in members:
+            out[v] = m
+    return out
+
+
+@settings(**SETTINGS)
+@given(graphs())
+def test_wcc_matches_union_find(spark, g):
+    from linkgraph.algorithms.wcc import wcc
+
+    n, edges = g
+    if not edges:
+        return
+    ids = sorted({a for a, b, _ in edges} | {b for a, b, _ in edges})
+    gr = Graph.from_edges(edges_df(spark, edges))
+    got = {r["id"]: r["component"] for r in wcc(gr).collect()}
+    want = _uf_components(n, edges)
+    assert got == {v: want[v] for v in ids}
+
+
+@settings(**SETTINGS)
+@given(graphs())
+def test_triangle_count_matches_bruteforce(spark, g):
+    from linkgraph.algorithms.triangles import triangle_count
+
+    n, edges = g
+    if not edges:
+        return
+    adj = np.zeros((n, n), dtype=bool)
+    for a, b, _ in edges:
+        adj[a, b] = adj[b, a] = True
+    want = {}
+    for v in range(n):
+        cnt = 0
+        nb = np.flatnonzero(adj[v])
+        for i in range(len(nb)):
+            for j in range(i + 1, len(nb)):
+                if adj[nb[i], nb[j]]:
+                    cnt += 1
+        if adj[v].any():
+            want[v] = cnt
+    gr = Graph.from_edges(edges_df(spark, edges))
+    got = {r["id"]: r["triangles"] for r in triangle_count(gr).collect()}
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(graphs())
+def test_lpa_partition_invariance(spark, g):
+    """Synchronous LPA with deterministic tie-break must not depend on the
+    physical partitioning of the edge DataFrame."""
+    from linkgraph.algorithms.lpa import label_propagation
+
+    n, edges = g
+    if not edges:
+        return
+    e = edges_df(spark, edges)
+    g1 = Graph.from_edges(e.repartition(1))
+    g2 = Graph.from_edges(e.repartition(7))
+    r1 = {r["id"]: r["label"]
+          for r in label_propagation(g1, max_iterations=4).collect()}
+    r2 = {r["id"]: r["label"]
+          for r in label_propagation(g2, max_iterations=4).collect()}
+    assert r1 == r2
