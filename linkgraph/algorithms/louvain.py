@@ -259,7 +259,11 @@ def louvain(
 
     def _result(mapping_df: DataFrame, q: float, levels):
         result = mapping_df.select("id", F.col("comm").alias("community"))
-        result.levels = levels if include_intermediate else None
+        result.levels = (
+            [lv.select("id", F.col("comm").alias("community")) for lv in levels]
+            if include_intermediate
+            else None
+        )
         result.final_modularity = q
         return result
 

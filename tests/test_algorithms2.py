@@ -151,6 +151,14 @@ def test_louvain_two_clusters(spark):
     assert got[0] != got[3]
     assert res.final_modularity > 0.3
 
+    # includeIntermediateCommunities: levels list present, last level's
+    # assignment equals the final communities
+    res_i = louvain(g, max_levels=2, move_rounds=8, include_intermediate=True)
+    assert len(res_i.levels) >= 1
+    final = {r["id"]: r["community"] for r in res_i.collect()}
+    last = {r["id"]: r["community"] for r in res_i.levels[-1].collect()}
+    assert final == last
+
 
 def test_random_walks_deterministic(spark):
     g = _g(spark, PATH5, ids=range(5), direction="BOTH")
