@@ -195,3 +195,57 @@ def repo_dependency_graph(repos_df: DataFrame) -> tuple[DataFrame, DataFrame]:
         .select("src", "dst", "weight")
     )
     return nodes.select("id", F.col("name").alias("repo")), edges
+
+
+def file_dependency_graph(repos_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Full mining pipeline at FILE granularity → (file_nodes, file_edges).
+
+    file_nodes(id, repo, path) — densified contiguous ids over repo/path
+    file_edges(src, dst, weight=import count): the importing FILE links to
+    the target repo's DEFINING file. Definition resolution here is the
+    repo's lexicographically-first path (its src/m0 core module) — the
+    relational stand-in for a symbol table; at 10^12-file scale this is a
+    broadcast/shuffle join against a defs table, never content re-parsing.
+
+    North-star shape: "edges = repo→repo and file→file dependency/import
+    links mined from content via vectorized Arrow UDFs".
+    """
+    from linkgraph.ids import densify_ids
+
+    imports = mine_import_edges(repos_df)
+    pkg_map = (
+        repos_df.select("repo")
+        .distinct()
+        .withColumn(
+            "pkg",
+            F.concat(F.lit("pkg_"), F.regexp_extract(F.col("repo"), r"repo(\d+)$", 1)),
+        )
+        .withColumnRenamed("repo", "dst_repo")
+    )
+    defs = (
+        repos_df.groupBy(F.col("repo").alias("dst_repo"))
+        .agg(F.min("path").alias("dst_path"))
+    )
+    file_edges_named = (
+        imports.join(F.broadcast(pkg_map), imports.dst_pkg == pkg_map.pkg)
+        .join(F.broadcast(defs), "dst_repo")
+        .groupBy("src_repo", "src_path", "dst_repo", "dst_path")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    files = repos_df.select(
+        F.concat_ws("\x00", "repo", "path").alias("fkey"), "repo", "path"
+    ).distinct()
+    ids = densify_ids(files.select("fkey"), "fkey")
+    nodes = files.join(ids, "fkey").select("id", "repo", "path")
+    src_ids = ids.select(F.col("id").alias("src"), F.col("fkey").alias("skey"))
+    dst_ids = ids.select(F.col("id").alias("dst"), F.col("fkey").alias("dkey"))
+    edges = (
+        file_edges_named.withColumn(
+            "skey", F.concat_ws("\x00", "src_repo", "src_path")
+        )
+        .withColumn("dkey", F.concat_ws("\x00", "dst_repo", "dst_path"))
+        .join(src_ids, "skey")
+        .join(dst_ids, "dkey")
+        .select("src", "dst", "weight")
+    )
+    return nodes, edges

@@ -63,3 +63,46 @@ def test_densify_contiguous(spark):
     # deterministic: same input → same mapping
     out2 = densify_ids(df, "name", num_partitions=3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_file_dependency_graph(spark):
+    """File-level edges: every mined import resolves to the target repo's
+    defining file; node ids are dense; PageRank runs on the file graph."""
+    from linkgraph.mining import (
+        file_dependency_graph,
+        mine_import_edges,
+        synthesize_repos,
+    )
+    from linkgraph.graph import Graph
+    from linkgraph.algorithms.pagerank import pagerank
+    from pyspark.sql import functions as F
+
+    repos = synthesize_repos(spark, n_repos=8, files_per_repo=6).persist()
+    nodes, edges = file_dependency_graph(repos)
+    n = nodes.count()
+    assert n == 8 * 6
+    ids = [r["id"] for r in nodes.select("id").collect()]
+    assert sorted(ids) == list(range(n))  # dense 0..n-1
+
+    # total import weight equals mined import rows that resolve to a repo
+    total_imports = (
+        mine_import_edges(repos)
+        .filter(F.col("dst_pkg").rlike("^pkg_[0-7]$"))
+        .count()
+    )
+    got_weight = edges.agg(F.sum("weight")).first()[0]
+    assert int(got_weight) == total_imports
+
+    # every dst is a repo's lexicographically-first path
+    first_paths = {
+        (r["repo"], r["mp"])
+        for r in repos.groupBy("repo").agg(F.min("path").alias("mp")).collect()
+    }
+    dst_files = {
+        (r["repo"], r["path"])
+        for r in edges.join(nodes, edges.dst == nodes.id).select("repo", "path").collect()
+    }
+    assert dst_files <= first_paths
+
+    ranks = pagerank(Graph.from_edges(edges, nodes=nodes.select("id")), max_iterations=5)
+    assert ranks.count() == n
