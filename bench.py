@@ -40,6 +40,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # untimed warm-up: spin executor threads + Python/Arrow workers and let
+    # the host CPU ramp (first-invocation kernels run 4-12x slow here —
+    # same methodology as BENCH/run_scaling.py's warm-up supersteps)
+    import pandas as _pd
+
+    warm = spark.range(1 << 16).selectExpr("id", "id % 7 AS k")
+    warm.groupBy("k").applyInPandas(
+        lambda pdf: _pd.DataFrame({"k": [pdf["k"].iloc[0]], "n": [len(pdf)]}),
+        schema="k long, n long",
+    ).count()
+    Q.q_doc_pagerank(spark, sf_dir).count()
+
     def timed(name, fn):
         t0 = time.time()
         df = fn(spark, sf_dir)
