@@ -91,11 +91,17 @@ def msbfs_distance_sums(
     direction: str = "BOTH",
     max_depth: int | None = None,
     mode: str = "closeness",
+    source_sample: float | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """→ (id, reachable, dist_sum) per node over all sources (exact BFS).
 
     mode='closeness': dist_sum = Σ d;  'harmonic': Σ 1/d;  'dangalchev':
     Σ 2^-d. All bitset chunks advance in one job per level.
+
+    `source_sample` < 1 runs BFS from a seeded node sample S and scales
+    both sums by n/|S| (Eppstein–Wang-style estimator) — the at-scale path
+    where exact all-sources closeness is Θ(nm); columns become double.
     """
     if direction == "BOTH":
         edges = graph.undirected_edges().select("src", "dst")
@@ -103,7 +109,16 @@ def msbfs_distance_sums(
         edges = graph.edges.select("src", "dst")
     edges = edges.filter(F.col("src") != F.col("dst")).persist()
     nodes = graph.nodes.select("id")
-    assign = _assign_chunks(nodes)
+    scale = 1.0
+    if source_sample is not None and source_sample < 1.0:
+        srcs = nodes.sample(fraction=source_sample, seed=seed)
+        n_s = srcs.count()
+        if n_s == 0:
+            srcs, n_s = nodes.limit(1), 1
+        scale = nodes.count() / n_s
+        assign = _assign_chunks(nodes, sample=srcs)
+    else:
+        assign = _assign_chunks(nodes)
 
     deltas = []
     for depth, nxt in _level_sync_msbfs(edges, assign, max_depth):
@@ -129,6 +144,17 @@ def msbfs_distance_sums(
     sums = all_d.groupBy("id").agg(
         F.sum("r_inc").alias("reachable"), F.sum(d_inc).alias("dist_sum")
     )
+    if scale != 1.0:
+        return (
+            nodes.join(sums, "id", "left")
+            .select(
+                "id",
+                (F.coalesce("reachable", F.lit(0)) * F.lit(scale))
+                .cast("double")
+                .alias("reachable"),
+                (F.coalesce("dist_sum", F.lit(0.0)) * F.lit(scale)).alias("dist_sum"),
+            )
+        )
     return (
         nodes.join(sums, "id", "left")
         .select(
@@ -140,15 +166,26 @@ def msbfs_distance_sums(
 
 
 def closeness_centrality(
-    graph: Graph, improved: bool = False, direction: str = "BOTH"
+    graph: Graph,
+    improved: bool = False,
+    direction: str = "BOTH",
+    source_sample: float | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """`algo.closeness` — MSClosenessCentrality semantics.
 
     Standard: C(v) = (n−1) / Σ d(v,·) over reachable targets.
     improved (Wasserman–Faust): scaled by (reachable / (n−1)).
-    Unreachable/isolated → 0.
+    Unreachable/isolated → 0. `source_sample` < 1 → sampled estimator
+    (the at-scale path; exact all-sources is Θ(nm)).
     """
-    acc = msbfs_distance_sums(graph, direction=direction, mode="closeness")
+    acc = msbfs_distance_sums(
+        graph,
+        direction=direction,
+        mode="closeness",
+        source_sample=source_sample,
+        seed=seed,
+    )
     n = graph.nodes.count()
     base = F.when(
         F.col("dist_sum") > 0, (F.lit(float(n - 1))) / F.col("dist_sum")

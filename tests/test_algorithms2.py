@@ -343,3 +343,18 @@ def test_balanced_triads_golden(spark):
     assert got[1] == (2, 1)
     assert got[2] == (2, 1)
     assert got[3] == (1, 2)
+
+
+def test_sampled_closeness_estimator(spark):
+    """source_sample=1.0 equals exact; 0.5 sample on K8 stays within the
+    estimator's error envelope of the true centrality (all exactly 1.0)."""
+    from linkgraph.algorithms.msbfs import closeness_centrality
+
+    k8 = [(i, j, 1.0) for i in range(8) for j in range(i + 1, 8)]
+    g = _g(spark, k8, ids=range(8), direction="BOTH")
+    exact = {r["id"]: r["centrality"] for r in closeness_centrality(g).collect()}
+    assert all(abs(v - 1.0) < 1e-9 for v in exact.values())
+    est = {r["id"]: r["centrality"]
+           for r in closeness_centrality(g, source_sample=0.5, seed=3).collect()}
+    assert len(est) == 8
+    assert all(0.4 < v < 2.5 for v in est.values())
