@@ -5,12 +5,14 @@ Reference: `algo/.../impl/scc/{SCCTarjan,SCCIterativeTarjan,SCCTunedTarjan}.java
 
 Two paths:
 
-* ``scc`` — distributed **forward-backward coloring** (Fleischer et al.,
-  the MultistepSCC approach): pick the max-id node of the remaining
-  subgraph as pivot, compute forward ∩ backward reachability with frontier
-  joins, peel the SCC, iterate on the remainder. O(#SCC) rounds worst case
-  (fine for mostly-DAG dependency graphs whose SCCs are few and large);
-  components labeled by min member id.
+* ``scc`` — distributed **forward-backward coloring** (Fleischer et al. /
+  ColorSCC, the MultistepSCC approach): trim trivial SCCs, propagate the
+  max node id forward to a fixpoint (every node takes the color of its
+  highest-id reachable ancestor), then ONE multi-source backward BFS from
+  all color roots restricted to same-color nodes extracts the root's
+  entire SCC for EVERY color simultaneously — many SCCs removed per outer
+  round, O(log n)-ish expected rounds instead of O(#SCC) single-pivot
+  peeling; components labeled by min member id.
 * ``scc_tarjan`` — exact driver-side iterative Tarjan over collected CSR
   for modest graphs (the reference's default is also single-threaded).
 """
@@ -54,31 +56,83 @@ def scc(graph: Graph, max_rounds: int = 10_000) -> DataFrame:
     rounds = 0
     while rounds < max_rounds:
         rounds += 1
-        # trim trivial SCCs: nodes with no in- or out-edge within active
-        srcs = edges.join(active.withColumnRenamed("id", "src"), "src").join(
-            active.withColumnRenamed("id", "dst"), "dst"
-        )
-        has_out = srcs.select(F.col("src").alias("id")).distinct()
-        has_in = srcs.select(F.col("dst").alias("id")).distinct()
-        nontrivial = active.join(has_out, "id").join(has_in, "id")
-        trivial = active.join(nontrivial, "id", "left_anti")
-        if not trivial.isEmpty():
+        # trim trivial SCCs to a FIXPOINT: repeatedly peel nodes with no
+        # in- or out-edge within active (clears whole DAG tails/chains in
+        # one outer round instead of one layer per round)
+        while True:
+            srcs = edges.join(active.withColumnRenamed("id", "src"), "src").join(
+                active.withColumnRenamed("id", "dst"), "dst"
+            )
+            has_out = srcs.select(F.col("src").alias("id")).distinct()
+            has_in = srcs.select(F.col("dst").alias("id")).distinct()
+            nontrivial = active.join(has_out, "id").join(has_in, "id")
+            trivial = active.join(nontrivial, "id", "left_anti")
+            if trivial.isEmpty():
+                break
             result = result.unionByName(
                 trivial.select("id", F.col("id").alias("component"))
             ).localCheckpoint(eager=True)
             active = nontrivial.localCheckpoint(eager=True)
         if active.isEmpty():
             break
-        pivot = active.agg(F.max("id")).first()[0]
-        start = spark.createDataFrame([(int(pivot),)], "id long")
-        fwd = _reach(edges, start, active)
-        bwd = _reach(redges, start, active)
-        comp = fwd.join(bwd, "id")
-        cid = comp.agg(F.min("id")).first()[0]
+        # --- color: forward max-id propagation to fixpoint over the active
+        # subgraph (every node ends with the max id that can reach it)
+        ae = (
+            edges.join(active.withColumnRenamed("id", "src"), "src")
+            .join(active.withColumnRenamed("id", "dst"), "dst")
+            .localCheckpoint(eager=True)
+        )
+        colors = active.select("id", F.col("id").alias("color"))
+        colors = colors.localCheckpoint(eager=True)
+        frontier = colors  # delta iteration: only changed colors propagate
+        while True:
+            inc = (
+                ae.join(frontier.withColumnRenamed("id", "src")
+                        .withColumnRenamed("color", "c_src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.max("c_src").alias("c_in"))
+            )
+            merged = colors.join(inc, "id", "left").select(
+                "id",
+                "color",
+                F.coalesce("c_in", F.lit(-1)).alias("c_in"),
+            )
+            frontier = (
+                merged.filter(F.col("c_in") > F.col("color"))
+                .select("id", F.col("c_in").alias("color"))
+                .localCheckpoint(eager=True)
+            )
+            if frontier.isEmpty():
+                break
+            colors = merged.select(
+                "id", F.greatest("color", "c_in").alias("color")
+            ).localCheckpoint(eager=True)
+        # --- multi-source backward reach from ALL color roots at once,
+        # restricted to same-color nodes: that is exactly the root's SCC
+        roots = colors.filter(F.col("id") == F.col("color")).select("id", "color")
+        members = roots.localCheckpoint(eager=True)
+        frontier = members
+        while True:
+            nxt = (
+                redges.join(frontier.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"), "color")
+                .distinct()
+                .join(colors, ["id", "color"])  # same color only (also ⊆ active)
+                .join(members.select("id"), "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            members = members.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        comp_label = members.groupBy("color").agg(F.min("id").alias("component"))
         result = result.unionByName(
-            comp.select("id", F.lit(int(cid)).alias("component"))
+            members.join(comp_label, "color").select("id", "component")
         ).localCheckpoint(eager=True)
-        active = active.join(comp, "id", "left_anti").localCheckpoint(eager=True)
+        active = active.join(members.select("id"), "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        ae.unpersist()
         if active.isEmpty():
             break
     edges.unpersist()
