@@ -218,3 +218,22 @@ def test_graph_loader_typed_subgraph(spark):
     # edge predicate only
     g3 = subgraph(g, edge_pred="src = 0")
     assert {(r.src, r.dst) for r in g3.edges.collect()} == {(0, 1)}
+
+
+def test_write_similar_relationships(spark, tmp_path):
+    """SimilarityExporter analogue: SIMILAR rels land in the sink table and
+    the returned row matches the reference's writeResult shape."""
+    from linkgraph.algorithms.vector_similarity import write_similar_relationships
+
+    pairs = spark.createDataFrame(
+        [(0, 1, 0.9), (0, 2, 0.7), (1, 2, 0.8)],
+        "a long, b long, similarity double",
+    )
+    out = str(tmp_path / "similar")
+    row = write_similar_relationships(pairs, out).first()
+    assert row["nodes"] == 3
+    assert row["similarityPairs"] == 3
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert set(back.columns) >= {"src", "dst", "rel_type", "score"}
+    assert back.filter(F.col("rel_type") == "SIMILAR").count() == 3
