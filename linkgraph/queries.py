@@ -793,6 +793,67 @@ def q_doc_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.round("centrality", 5).alias("centrality"))
 
 
+BETW_SUBSET = 60  # oracle checks betweenness for ids < this bound
+
+
+def q_doc_betweenness_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Brandes betweenness, oracle-checked for a node subset.
+
+    The DuckDB oracle counts shortest paths (σ) layer by layer from the
+    pair-BFS distance table and evaluates Brandes' pair-dependency sum
+    directly: B(v) = ½ Σ_{s≠v≠t} [d(s,v)+d(v,t)=d(s,t)] σ_sv·σ_vt/σ_st.
+    Restricting v to a subset keeps the oracle's triple join bounded."""
+    from linkgraph.algorithms.betweenness import betweenness_centrality
+
+    g = doc_graph(spark, sf_dir)
+    out = betweenness_centrality(g, direction="BOTH")
+    return out.filter(F.col("id") < BETW_SUBSET).select(
+        "id", F.round("centrality", 4).alias("centrality")
+    )
+
+
+def sql_doc_betweenness_sub() -> str:
+    parts = [_PROLOG, _apsp_ctes()]
+    parts.append(
+        ", dall AS MATERIALIZED "
+        f"(SELECT source, node, d FROM p{APSP_ROUNDS})"
+    )
+    parts.append(
+        ", s0 AS MATERIALIZED (SELECT id AS source, id AS node, 0 AS d, "
+        "CAST(1 AS DOUBLE) AS sig FROM nodes)"
+    )
+    for k in range(1, APSP_ROUNDS + 1):
+        parts.append(
+            f""", s{k} AS MATERIALIZED (
+  SELECT p.source, u.dst AS node, {k} AS d, SUM(p.sig) AS sig
+  FROM s{k - 1} p JOIN ue u ON p.node = u.src
+  JOIN dall dv ON dv.source = p.source AND dv.node = u.dst AND dv.d = {k}
+  GROUP BY p.source, u.dst)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT source, node, d, sig FROM s{k}" for k in range(APSP_ROUNDS + 1)
+    )
+    parts.append(f", sigall AS MATERIALIZED ({union})")
+    parts.append(
+        f""", sv AS MATERIALIZED (
+  SELECT source AS s, node AS v, d AS dsv, sig AS ssv FROM sigall
+  WHERE node < {BETW_SUBSET} AND d > 0)
+, vt AS MATERIALIZED (
+  SELECT source AS v, node AS t, d AS dvt, sig AS svt FROM sigall
+  WHERE source < {BETW_SUBSET} AND d > 0)
+, bsum AS (
+  SELECT sv.v AS id, SUM(sv.ssv * vt.svt / st.sig) AS bc
+  FROM sv JOIN vt ON sv.v = vt.v AND sv.s <> vt.t
+  JOIN sigall st
+    ON st.source = sv.s AND st.node = vt.t AND st.d = sv.dsv + vt.dvt
+  GROUP BY sv.v)
+SELECT n.id, ROUND(COALESCE(b.bc, 0.0) / 2, 4) AS centrality
+FROM (SELECT id FROM nodes WHERE id < {BETW_SUBSET}) n
+LEFT JOIN bsum b ON n.id = b.id"""
+    )
+    return "\n".join(parts)
+
+
 def q_doc_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.algorithms.louvain import louvain
 
@@ -1701,6 +1762,7 @@ QUERIES = {
     "doc_degree_weighted": q_doc_degree_weighted,
     "doc_subgraph_degree": q_doc_subgraph_degree,
     "stream_distinct_degree": q_stream_distinct_degree,
+    "doc_betweenness_sub": q_doc_betweenness_sub,
     "doc_linkpred": q_doc_linkpred,
     "doc_same_community": q_doc_same_community,
     "user_jaccard_topk": q_user_jaccard_topk,
@@ -1772,6 +1834,7 @@ ORACLES = {
     "doc_degree_weighted": sql_doc_degree_weighted(),
     "doc_subgraph_degree": sql_doc_subgraph_degree(),
     "stream_distinct_degree": sql_stream_distinct_degree(),
+    "doc_betweenness_sub": sql_doc_betweenness_sub(),
     "doc_linkpred": sql_doc_linkpred(),
     "doc_same_community": sql_doc_same_community(),
     "user_jaccard_topk": sql_user_jaccard_topk(),
