@@ -1682,6 +1682,68 @@ def q_doc_yen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return yens_k_shortest_paths(g, 0, DIJKSTRA_TARGET, k=3)
 
 
+def q_doc_mst_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MST total weight + edge count — oracle-checkable even though the
+    tree itself is not unique (ties): every minimum spanning forest has
+    the same weight multiset. Oracle = Kruskal's component-count identity
+    MST_w = Σ_w w·(c(G_{<w}) − c(G_{≤w})) with c() from the unrolled WCC
+    CTE on each weight-threshold subgraph."""
+    from linkgraph.algorithms.paths import minimum_spanning_forest
+
+    forest = q_doc_mst(spark, sf_dir)
+    return forest.agg(
+        F.round(F.sum("weight"), 5).alias("total_weight"),
+        F.count(F.lit(1)).alias("n_edges"),
+    )
+
+
+def _wcc_count_cte(tag: str, edge_src: str) -> str:
+    """Component count of the symmetric closure of `edge_src` (SQL rel with
+    src,dst cols) as CTE c_<tag>(cnt), via WCC_ROUNDS hash-min rounds."""
+    parts = [
+        f", ue_{tag} AS MATERIALIZED (SELECT src, dst FROM ({edge_src}) "
+        f"UNION SELECT dst, src FROM ({edge_src}))",
+        f", {tag}_l0 AS (SELECT doc_id AS id, doc_id AS comp FROM documents)",
+    ]
+    for k in range(1, WCC_ROUNDS + 1):
+        parts.append(
+            f""", {tag}_m{k} AS MATERIALIZED (
+  SELECT l.id, LEAST(l.comp, COALESCE(nm.nmin, l.comp)) AS comp
+  FROM {tag}_l{k - 1} l LEFT JOIN (
+    SELECT u.dst AS id, MIN(p.comp) AS nmin
+    FROM ue_{tag} u JOIN {tag}_l{k - 1} p ON u.src = p.id GROUP BY u.dst
+  ) nm ON l.id = nm.id)
+, {tag}_l{k} AS MATERIALIZED (
+  SELECT m.id, COALESCE(p2.comp, m.comp) AS comp
+  FROM {tag}_m{k} m LEFT JOIN {tag}_m{k} p2 ON m.comp = p2.id)"""
+        )
+    parts.append(
+        f", c_{tag} AS (SELECT COUNT(DISTINCT comp) AS cnt FROM {tag}_l{WCC_ROUNDS})"
+    )
+    return "\n".join(parts)
+
+
+def sql_doc_mst_weight() -> str:
+    parts = [_PROLOG]
+    parts.append(
+        ", wce AS MATERIALIZED (SELECT LEAST(src,dst) AS src, GREATEST(src,dst) AS dst, "
+        "1 + (src + dst) % 3 AS w FROM edges GROUP BY 1, 2, 3)"
+    )
+    for w in (1, 2, 3):
+        parts.append(
+            _wcc_count_cte(f"g{w}", f"SELECT src, dst FROM wce WHERE w <= {w}")
+        )
+    parts.append(
+        """
+SELECT CAST(ROUND(
+    1*((SELECT COUNT(*) FROM documents) - (SELECT cnt FROM c_g1))
+  + 2*((SELECT cnt FROM c_g1) - (SELECT cnt FROM c_g2))
+  + 3*((SELECT cnt FROM c_g2) - (SELECT cnt FROM c_g3)), 5) AS DOUBLE) AS total_weight,
+  CAST((SELECT COUNT(*) FROM documents) - (SELECT cnt FROM c_g3) AS BIGINT) AS n_edges"""
+    )
+    return "\n".join(parts)
+
+
 def q_doc_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.algorithms.paths import dfs
 
@@ -1763,6 +1825,7 @@ QUERIES = {
     "doc_subgraph_degree": q_doc_subgraph_degree,
     "stream_distinct_degree": q_stream_distinct_degree,
     "doc_betweenness_sub": q_doc_betweenness_sub,
+    "doc_mst_weight": q_doc_mst_weight,
     "doc_linkpred": q_doc_linkpred,
     "doc_same_community": q_doc_same_community,
     "user_jaccard_topk": q_user_jaccard_topk,
@@ -1835,6 +1898,7 @@ ORACLES = {
     "doc_subgraph_degree": sql_doc_subgraph_degree(),
     "stream_distinct_degree": sql_stream_distinct_degree(),
     "doc_betweenness_sub": sql_doc_betweenness_sub(),
+    "doc_mst_weight": sql_doc_mst_weight(),
     "doc_linkpred": sql_doc_linkpred(),
     "doc_same_community": sql_doc_same_community(),
     "user_jaccard_topk": sql_user_jaccard_topk(),
