@@ -1667,6 +1667,23 @@ def q_doc_kspanning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_spanning_tree(g, k=5)
 
 
+def q_doc_kspanning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-spanning-tree invariant: cutting k−1 tree edges of a forest with c
+    components yields exactly c + k − 1 clusters (oracle computes c via the
+    WCC component-count CTE)."""
+    out = q_doc_kspanning(spark, sf_dir)
+    return out.agg(F.countDistinct("cluster").cast("long").alias("n_clusters"))
+
+
+def sql_doc_kspanning_stats() -> str:
+    parts = [_PROLOG]
+    parts.append(_wcc_count_cte("kfull", "SELECT src, dst FROM edges"))
+    parts.append(
+        "SELECT CAST((SELECT cnt FROM c_kfull) + 4 AS BIGINT) AS n_clusters"
+    )
+    return "\n".join(parts)
+
+
 def q_doc_infomap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.algorithms.infomap import infomap
 
@@ -1826,6 +1843,7 @@ QUERIES = {
     "stream_distinct_degree": q_stream_distinct_degree,
     "doc_betweenness_sub": q_doc_betweenness_sub,
     "doc_mst_weight": q_doc_mst_weight,
+    "doc_kspanning_stats": q_doc_kspanning_stats,
     "doc_linkpred": q_doc_linkpred,
     "doc_same_community": q_doc_same_community,
     "user_jaccard_topk": q_user_jaccard_topk,
@@ -1899,6 +1917,7 @@ ORACLES = {
     "stream_distinct_degree": sql_stream_distinct_degree(),
     "doc_betweenness_sub": sql_doc_betweenness_sub(),
     "doc_mst_weight": sql_doc_mst_weight(),
+    "doc_kspanning_stats": sql_doc_kspanning_stats(),
     "doc_linkpred": sql_doc_linkpred(),
     "doc_same_community": sql_doc_same_community(),
     "user_jaccard_topk": sql_user_jaccard_topk(),
