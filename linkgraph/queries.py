@@ -1667,6 +1667,32 @@ def q_doc_kspanning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_spanning_tree(g, k=5)
 
 
+def sql_doc_balanced_triads() -> str:
+    sgn = "CASE WHEN ({x} + {y}) % 2 = 0 THEN 1 ELSE -1 END"
+    return (
+        _PROLOG
+        + f""", tri AS MATERIALIZED (
+  SELECT w.a, w.b, w.c,
+         ({sgn.format(x='w.a', y='w.b')}) * ({sgn.format(x='w.a', y='w.c')})
+           * ({sgn.format(x='w.b', y='w.c')}) > 0 AS bal
+  FROM (
+    SELECT e1.a, e1.b, e2.b AS c
+    FROM ce e1 JOIN ce e2 ON e1.a = e2.a AND e1.b < e2.b
+  ) w JOIN ce e3 ON e3.a = w.b AND e3.b = w.c)
+, corners AS (
+  SELECT a AS id, bal FROM tri
+  UNION ALL SELECT b, bal FROM tri
+  UNION ALL SELECT c, bal FROM tri)
+, agg AS (
+  SELECT id, SUM(CASE WHEN bal THEN 1 ELSE 0 END) AS balanced,
+         SUM(CASE WHEN bal THEN 0 ELSE 1 END) AS unbalanced
+  FROM corners GROUP BY id)
+SELECT n.id, CAST(COALESCE(a.balanced, 0) AS BIGINT) AS balanced,
+       CAST(COALESCE(a.unbalanced, 0) AS BIGINT) AS unbalanced
+FROM nodes n LEFT JOIN agg a ON n.id = a.id"""
+    )
+
+
 def q_doc_kspanning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-spanning-tree invariant: cutting k−1 tree edges of a forest with c
     components yields exactly c + k − 1 clusters (oracle computes c via the
@@ -1918,6 +1944,7 @@ ORACLES = {
     "doc_betweenness_sub": sql_doc_betweenness_sub(),
     "doc_mst_weight": sql_doc_mst_weight(),
     "doc_kspanning_stats": sql_doc_kspanning_stats(),
+    "doc_balanced_triads": sql_doc_balanced_triads(),
     "doc_linkpred": sql_doc_linkpred(),
     "doc_same_community": sql_doc_same_community(),
     "user_jaccard_topk": sql_user_jaccard_topk(),
