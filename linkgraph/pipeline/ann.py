@@ -96,6 +96,59 @@ def train_ivf_centroids(
     return cent
 
 
+def train_ivf_centroids_distributed(
+    corpus: DataFrame,
+    num_cells: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Fully distributed Lloyd iterations — the 100 TB training path.
+
+    Seeds from a tiny driver sample (k rows), then each iteration is one
+    Arrow-vectorized assignment pass + one groupBy(cell) mean over the
+    WHOLE corpus: the per-iteration reduction is num_cells × dim floats,
+    independent of corpus size. Use when even a bounded sample would
+    misrepresent the distribution (billions of vectors, rare modes)."""
+    seed_rows = (
+        corpus.select(vec_col)
+        .sample(False, 1.0, seed)
+        .limit(num_cells)
+        .toPandas()[vec_col]
+        .tolist()
+    )
+    cent = np.array(seed_rows, dtype=np.float64)
+    cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+    for _ in range(iters):
+        c = cent
+
+        @pandas_udf("struct<cell:int, nv:array<double>>")
+        def assign_norm(vecs: pd.Series) -> pd.DataFrame:
+            x = np.array(vecs.tolist(), dtype=np.float64)
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            cells = (x @ c.T).argmax(axis=1).astype(np.int32)
+            return pd.DataFrame({"cell": cells, "nv": list(x)})
+
+        agg = (
+            corpus.select(assign_norm(F.col(vec_col)).alias("s"))
+            .select(F.col("s.cell").alias("cell"), F.col("s.nv").alias("nv"))
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.array(
+                    *[F.sum(F.element_at("nv", i + 1)) for i in range(cent.shape[1])]
+                ).alias("vsum"),
+            )
+            .collect()
+        )
+        for row in agg:
+            if row["n"]:
+                v = np.array(row["vsum"]) / row["n"]
+                cent[row["cell"]] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
 def ivf_assign(
     df: DataFrame, centroids: np.ndarray, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

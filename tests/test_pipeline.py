@@ -361,3 +361,32 @@ def test_incremental_wcc_matches_batch(spark, tmp_path):
         r["id"]: r["component"] for r in batch_wcc(Graph.from_edges(full)).collect()
     }
     assert got == want
+
+
+def test_ivf_distributed_training_matches_driver(spark):
+    """Distributed Lloyd converges to centroids that cluster as well as the
+    driver-sample path on a well-separated corpus."""
+    from linkgraph.pipeline.ann import (
+        ivf_assign,
+        train_ivf_centroids,
+        train_ivf_centroids_distributed,
+    )
+
+    rng = np.random.RandomState(5)
+    centers = rng.normal(size=(4, 16)) * 5
+    rows = []
+    for i in range(200):
+        c = i % 4
+        v = centers[c] + rng.normal(size=16) * 0.1
+        rows.append((i, v.tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cd = train_ivf_centroids_distributed(emb, num_cells=4, iters=4)
+    assert cd.shape == (4, 16)
+    got = ivf_assign(emb, cd).select("id", "cell").collect()
+    # purity: every true cluster maps to exactly one learned cell
+    by_true = {}
+    for r in got:
+        by_true.setdefault(r["id"] % 4, set()).add(r["cell"])
+    assert all(len(cells) == 1 for cells in by_true.values())
+    assert len({next(iter(c)) for c in by_true.values()}) == 4
