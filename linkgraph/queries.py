@@ -1740,6 +1740,37 @@ def q_doc_mst_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_maxst_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-spanning-forest total weight (Kruskal identity from the top:
+    #edges of weight ≥ w in any MaxSF = n − c(G_{≥w}))."""
+    forest = q_doc_spanning_tree_max(spark, sf_dir)
+    return forest.agg(
+        F.round(F.sum("weight"), 5).alias("total_weight"),
+        F.count(F.lit(1)).alias("n_edges"),
+    )
+
+
+def sql_doc_maxst_weight() -> str:
+    parts = [_PROLOG]
+    parts.append(
+        ", wce AS MATERIALIZED (SELECT LEAST(src,dst) AS src, GREATEST(src,dst) AS dst, "
+        "1 + (src + dst) % 3 AS w FROM edges GROUP BY 1, 2, 3)"
+    )
+    for w in (3, 2, 1):
+        parts.append(
+            _wcc_count_cte(f"h{w}", f"SELECT src, dst FROM wce WHERE w >= {w}")
+        )
+    parts.append(
+        """
+SELECT CAST(ROUND(
+    3*((SELECT COUNT(*) FROM documents) - (SELECT cnt FROM c_h3))
+  + 2*((SELECT cnt FROM c_h3) - (SELECT cnt FROM c_h2))
+  + 1*((SELECT cnt FROM c_h2) - (SELECT cnt FROM c_h1)), 5) AS DOUBLE) AS total_weight,
+  CAST((SELECT COUNT(*) FROM documents) - (SELECT cnt FROM c_h1) AS BIGINT) AS n_edges"""
+    )
+    return "\n".join(parts)
+
+
 def _wcc_count_cte(tag: str, edge_src: str) -> str:
     """Component count of the symmetric closure of `edge_src` (SQL rel with
     src,dst cols) as CTE c_<tag>(cnt), via WCC_ROUNDS hash-min rounds."""
@@ -1870,6 +1901,7 @@ QUERIES = {
     "doc_betweenness_sub": q_doc_betweenness_sub,
     "doc_mst_weight": q_doc_mst_weight,
     "doc_kspanning_stats": q_doc_kspanning_stats,
+    "doc_maxst_weight": q_doc_maxst_weight,
     "doc_linkpred": q_doc_linkpred,
     "doc_same_community": q_doc_same_community,
     "user_jaccard_topk": q_user_jaccard_topk,
@@ -1944,6 +1976,7 @@ ORACLES = {
     "doc_betweenness_sub": sql_doc_betweenness_sub(),
     "doc_mst_weight": sql_doc_mst_weight(),
     "doc_kspanning_stats": sql_doc_kspanning_stats(),
+    "doc_maxst_weight": sql_doc_maxst_weight(),
     "doc_balanced_triads": sql_doc_balanced_triads(),
     "doc_linkpred": sql_doc_linkpred(),
     "doc_same_community": sql_doc_same_community(),
