@@ -109,9 +109,10 @@ def main() -> None:
     import statistics
 
     def steady_eps(metrics) -> float:
-        ms = metrics.superstep_millis
+        ms = metrics.superstep_millis or [1]
         tail = ms[3:] if len(ms) > 5 else ms
-        return n_edges / (statistics.median(tail) / 1000.0)
+        # sub-ms supersteps truncate to int 0; clamp to avoid div-by-zero
+        return n_edges / (max(statistics.median(tail), 1) / 1000.0)
 
     csr_steady = steady_eps(pr.metrics)
     pull_steady = steady_eps(prp.metrics)

@@ -87,7 +87,7 @@ def label_propagation(
             )
         else:
             changed = 1
-        if checkpoint is not None and (step + 1) % checkpoint_every == 0:
+        if checkpoint is not None and checkpoint_every and (step + 1) % checkpoint_every == 0:
             new_labels = checkpoint.write(
                 new_labels, step + 1, {"iteration": step + 1, "changed": changed}
             )

@@ -135,7 +135,7 @@ class PageRank:
             if self.weighted
             else graph.edges.withColumn("weight", F.lit(1.0))
         )
-        b = self.num_blocks or blocks.auto_num_blocks(edges, sc.defaultParallelism)
+        b = self.num_blocks
 
         node_pd = self._teleport(graph.nodes).toPandas()
         n = len(node_pd)
@@ -162,6 +162,8 @@ class PageRank:
             # would silently mis-slice every superstep
             b = blocks.validate_store(block_path, "pull", self.weighted)
         else:
+            if b is None:  # size by edge volume only when actually building
+                b = blocks.auto_num_blocks(edges, sc.defaultParallelism)
             blocks.write_pull_blocks(edges, b, block_path, weighted=self.weighted)
 
         p = t.copy()
@@ -221,9 +223,7 @@ class PageRank:
         denom = None
         block_path = None
         owns_blocks = False
-        b = self.num_blocks or blocks.auto_num_blocks(
-            edges, edges.sparkSession.sparkContext.defaultParallelism
-        )
+        b = self.num_blocks
         if self.strategy == "csr":
             # materialize the CSR block store once (worker-resident thereafter)
             block_path = self.block_store
@@ -236,6 +236,10 @@ class PageRank:
                 # adopt the store's num_blocks; reject weighted/layout drift
                 b = blocks.validate_store(block_path, "push", self.weighted)
             else:
+                if b is None:  # size by edge volume only when actually building
+                    b = blocks.auto_num_blocks(
+                        edges, edges.sparkSession.sparkContext.defaultParallelism
+                    )
                 blocks.write_edge_blocks(
                     edges if self.weighted else edges.withColumn("weight", F.lit(1.0)),
                     b,

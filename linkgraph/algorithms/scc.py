@@ -15,6 +15,7 @@ Two paths:
   peeling; components labeled by min member id.
 * ``scc_tarjan`` — exact driver-side iterative Tarjan over collected CSR
   for modest graphs (the reference's default is also single-threaded).
+  The contract and tests run the distributed ``scc``.
 """
 
 from __future__ import annotations
@@ -24,26 +25,6 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from linkgraph.graph import Graph
-
-
-def _reach(edges: DataFrame, start_df: DataFrame, active: DataFrame) -> DataFrame:
-    """Nodes reachable from start set within `active` subgraph (incl. start)."""
-    visited = start_df.localCheckpoint(eager=True)
-    frontier = visited
-    while True:
-        nxt = (
-            edges.join(frontier, edges.src == frontier.id)
-            .select(F.col("dst").alias("id"))
-            .distinct()
-            .join(active, "id")  # stay within the active subgraph
-            .join(visited, "id", "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
-    return visited
 
 
 def scc(graph: Graph, max_rounds: int = 10_000) -> DataFrame:

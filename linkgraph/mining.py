@@ -162,6 +162,19 @@ def mine_import_edges(repos_df: DataFrame) -> DataFrame:
     )
 
 
+def _pkg_map(repos_df: DataFrame) -> DataFrame:
+    """package → owning repo resolution (pkg_<i> belongs to repo index i)."""
+    return (
+        repos_df.select("repo")
+        .distinct()
+        .withColumn(
+            "pkg",
+            F.concat(F.lit("pkg_"), F.regexp_extract(F.col("repo"), r"repo(\d+)$", 1)),
+        )
+        .withColumnRenamed("repo", "dst_repo")
+    )
+
+
 def repo_dependency_graph(repos_df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Full mining pipeline → (repo_nodes, repo_edges).
 
@@ -172,15 +185,7 @@ def repo_dependency_graph(repos_df: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     imports = mine_import_edges(repos_df)
     # package → repo resolution: pkg_<i> belongs to repo index i
-    pkg_map = (
-        repos_df.select("repo")
-        .distinct()
-        .withColumn(
-            "pkg",
-            F.concat(F.lit("pkg_"), F.regexp_extract(F.col("repo"), r"repo(\d+)$", 1)),
-        )
-        .withColumnRenamed("repo", "dst_repo")
-    )
+    pkg_map = _pkg_map(repos_df)
     repo_edges_named = (
         imports.join(F.broadcast(pkg_map), imports.dst_pkg == pkg_map.pkg)
         .groupBy("src_repo", "dst_repo")
@@ -213,15 +218,7 @@ def file_dependency_graph(repos_df: DataFrame) -> tuple[DataFrame, DataFrame]:
     from linkgraph.ids import densify_ids
 
     imports = mine_import_edges(repos_df)
-    pkg_map = (
-        repos_df.select("repo")
-        .distinct()
-        .withColumn(
-            "pkg",
-            F.concat(F.lit("pkg_"), F.regexp_extract(F.col("repo"), r"repo(\d+)$", 1)),
-        )
-        .withColumnRenamed("repo", "dst_repo")
-    )
+    pkg_map = _pkg_map(repos_df)
     defs = (
         repos_df.groupBy(F.col("repo").alias("dst_repo"))
         .agg(F.min("path").alias("dst_path"))

@@ -110,15 +110,27 @@ def train_ivf_centroids_distributed(
     WHOLE corpus: the per-iteration reduction is num_cells × dim floats,
     independent of corpus size. Use when even a bounded sample would
     misrepresent the distribution (billions of vectors, rare modes)."""
-    seed_rows = (
-        corpus.select(vec_col)
-        .sample(False, 1.0, seed)
-        .limit(num_cells)
-        .toPandas()[vec_col]
-        .tolist()
+    # seeding: a bounded hash-spread sample (~32 rows/cell — sample(1.0)
+    # would be a no-op taking the first k rows, degenerate on
+    # source-clustered parquet), then k-means++ farthest-point selection
+    # so no two seeds start inside the same mode
+    pool = np.array(
+        corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
+        .limit(num_cells * 32)
+        .toPandas()["v"]
+        .tolist(),
+        dtype=np.float64,
     )
-    cent = np.array(seed_rows, dtype=np.float64)
-    cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    pool /= np.maximum(np.linalg.norm(pool, axis=1, keepdims=True), 1e-12)
+    k = min(num_cells, len(pool))
+    chosen = [0]
+    for _ in range(1, k):
+        sims = pool @ pool[chosen].T  # cosine to nearest chosen seed
+        d = 1.0 - sims.max(axis=1)
+        d[chosen] = -1.0
+        chosen.append(int(d.argmax()))
+    cent = pool[chosen].copy()
 
     for _ in range(iters):
         c = cent

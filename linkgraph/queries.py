@@ -1855,12 +1855,12 @@ def sql_emb_near_dup() -> str:
     return (
         _EMB_V
         + """
-SELECT a.vec_id AS a, b.vec_id AS b,
-       ROUND(list_dot_product(a.e, b.e) /
-         (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.e, b.e) /
-      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.98"""
+SELECT a, b, cosine FROM (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         ROUND(list_dot_product(a.e, b.e) /
+           (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+) WHERE cosine >= 0.98"""
     )
 
 

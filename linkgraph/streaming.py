@@ -130,8 +130,10 @@ def incremental_wcc(
     a star graph (id→component edges); per micro-batch, union it with the
     batch's new edges and re-run the batch Kiveris `wcc` on that union —
     cost scales with the DELTA plus one edge per known node, not the full
-    history. The mapping is parquet-persisted (atomic dir swap) so the
-    query resumes from checkpoint with state intact.
+    history. The mapping is parquet-persisted under versioned dirs with an
+    atomically-replaced CURRENT pointer file, so a crash at ANY point
+    leaves the previous version intact and the streaming checkpoint replay
+    reconverges.
 
     Returns the StreamingQuery (availableNow drains what exists).
     """
@@ -141,11 +143,21 @@ def incremental_wcc(
     from linkgraph.algorithms.wcc import wcc as _wcc
     from linkgraph.graph import Graph
 
+    pointer = os.path.join(state_dir, "CURRENT")
+
+    def _current_dir() -> str | None:
+        if not os.path.exists(pointer):
+            return None
+        with open(pointer) as f:
+            name = f.read().strip()
+        path = os.path.join(state_dir, name)
+        return path if name and os.path.exists(path) else None
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         new_edges = batch_df.select("src", "dst")
-        cur = os.path.join(state_dir, "current")
-        if os.path.exists(cur):
+        cur = _current_dir()
+        if cur is not None:
             prior = spark.read.parquet(cur).select(
                 F.col("id").alias("src"), F.col("component").alias("dst")
             )
@@ -154,13 +166,14 @@ def incremental_wcc(
             union = new_edges
         g = Graph.from_edges(union)
         mapping = _wcc(g).select("id", "component")
-        nxt = os.path.join(state_dir, f"v{batch_id}")
-        mapping.write.mode("overwrite").parquet(nxt)
-        old = os.path.join(state_dir, "_old")
-        if os.path.exists(cur):
-            os.rename(cur, old)
-        os.rename(nxt, cur)
-        shutil.rmtree(old, ignore_errors=True)
+        nxt_name = f"v{batch_id}"
+        mapping.write.mode("overwrite").parquet(os.path.join(state_dir, nxt_name))
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(nxt_name)
+        os.replace(tmp, pointer)  # single atomic commit point
+        if cur is not None and os.path.basename(cur) != nxt_name:
+            shutil.rmtree(cur, ignore_errors=True)
 
     return (
         edge_stream.writeStream.foreachBatch(process_batch)

@@ -352,9 +352,10 @@ def test_incremental_wcc_matches_batch(spark, tmp_path):
     stream = spark.readStream.schema("src long, dst long").parquet(src_dir)
     incremental_wcc(stream, state, ckpt).awaitTermination()
 
+    cur = (tmp_path / "iwcc_state" / "CURRENT").read_text().strip()
     got = {
         r["id"]: r["component"]
-        for r in spark.read.parquet(str(tmp_path / "iwcc_state" / "current")).collect()
+        for r in spark.read.parquet(str(tmp_path / "iwcc_state" / cur)).collect()
     }
     full = spark.createDataFrame(b1 + b2, "src long, dst long")
     want = {
