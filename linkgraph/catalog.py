@@ -84,3 +84,14 @@ class GraphCatalog:
             edges=spark.read.parquet(f"{path}/edges"),
         )
         return self.load(name, g)
+
+
+_DEFAULT: GraphCatalog | None = None
+
+
+def default_catalog() -> GraphCatalog:
+    """Process-wide catalog instance backing `procs.call('algo.graph.*')`."""
+    global _DEFAULT
+    if _DEFAULT is None:
+        _DEFAULT = GraphCatalog()
+    return _DEFAULT

@@ -114,3 +114,40 @@ def memrec(graph, algo: str = "pagerank", num_executors: int = 1) -> dict:
         "requiredMemoryTotal": int(total),
         "requiredMemoryPerExecutor": int(total / max(num_executors, 1)),
     }
+
+
+def call(name: str, *args, **kwargs):
+    """`CALL algo.<name>(...)` — string-dispatch to the implementation.
+
+    Resolves the registry's dotted path (module.attr, with an optional
+    class-method step like GraphCatalog.load), imports it, and invokes it
+    with the given arguments. Class paths are instantiated with no args
+    first; functions/classes are called directly. Raises KeyError for an
+    unknown procedure (use list_procs()/help_proc() to discover)."""
+    import importlib
+
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown procedure {name!r}; see algo.list")
+    impl, _desc = _REGISTRY[name]
+    parts = impl.split(".")
+    # longest importable module prefix, then walk attributes
+    obj = None
+    for cut in range(len(parts), 0, -1):
+        try:
+            obj = importlib.import_module(".".join(parts[:cut]))
+            attrs = parts[cut:]
+            break
+        except ImportError:
+            continue
+    for a in attrs:
+        obj = getattr(obj, a)
+    if name.startswith("algo.graph."):
+        # catalog procs dispatch through a module-level default instance
+        # (the resolved attribute is an unbound method)
+        from linkgraph.catalog import default_catalog
+
+        method = impl.rsplit(".", 1)[1]
+        return getattr(default_catalog(), method)(*args, **kwargs)
+    if name == "algo.spanningTree.maximum" or name == "algo.spanningTree.kmax":
+        kwargs.setdefault("maximum", True)
+    return obj(*args, **kwargs)

@@ -358,3 +358,26 @@ def test_sampled_closeness_estimator(spark):
            for r in closeness_centrality(g, source_sample=0.5, seed=3).collect()}
     assert len(est) == 8
     assert all(0.4 < v < 2.5 for v in est.values())
+
+
+def test_procs_call_dispatch(spark):
+    """CALL-style string dispatch resolves registry paths and runs."""
+    from linkgraph.procs import call
+
+    g = _g(spark, PATH5, ids=range(5))
+    deg = {r["id"]: r["score"]
+           for r in call("algo.degree", g, direction="OUTGOING").collect()}
+    assert deg[0] == 1.0 and deg[4] == 0.0
+    comps = {r["id"]: r["component"] for r in call("algo.unionFind", g).collect()}
+    assert set(comps.values()) == {0}
+    # spanningTree.maximum auto-sets maximum=True
+    forest = call("algo.spanningTree.maximum", g)
+    assert forest.count() == 4
+    # catalog procs route through the default instance
+    call("algo.graph.load", "pcall", g)
+    import linkgraph.catalog as C
+    assert "pcall" in C.default_catalog()
+    C.default_catalog().remove("pcall")
+    import pytest as _pt
+    with _pt.raises(KeyError):
+        call("algo.nope")

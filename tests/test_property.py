@@ -118,3 +118,18 @@ def test_lpa_partition_invariance(spark, g):
     r2 = {r["id"]: r["label"]
           for r in label_propagation(g2, max_iterations=4).collect()}
     assert r1 == r2
+
+
+@settings(**SETTINGS)
+@given(graphs())
+def test_scc_matches_tarjan_property(spark, g):
+    """ColorSCC (distributed) equals driver Tarjan on random digraphs."""
+    from linkgraph.algorithms.scc import scc, scc_tarjan
+
+    n, edges = g
+    if not edges:
+        return
+    gr = Graph.from_edges(edges_df(spark, edges))
+    a = {r["id"]: r["component"] for r in scc(gr).collect()}
+    b = {r["id"]: r["component"] for r in scc_tarjan(gr).collect()}
+    assert a == b
