@@ -237,3 +237,53 @@ def test_write_similar_relationships(spark, tmp_path):
     assert back.count() == 3
     assert set(back.columns) >= {"src", "dst", "rel_type", "score"}
     assert back.filter(F.col("rel_type") == "SIMILAR").count() == 3
+
+
+def test_procs_metadata_surface(spark):
+    from linkgraph.procs import help_proc, list_procs, version
+
+    all_procs = list_procs()
+    assert len(all_procs) >= 45
+    assert {"name", "implementation", "description"} <= set(all_procs[0])
+    prs = list_procs("pagerank")
+    assert any(p["name"] == "algo.pageRank" for p in prs)
+    assert help_proc("algo.louvain")["name"] == "algo.louvain"
+    assert help_proc("algo.definitely_not") is None
+    assert isinstance(version(), str) and version()
+
+
+def test_auto_num_blocks_sizing(spark):
+    from linkgraph.algorithms.blocks import EDGES_PER_BLOCK, auto_num_blocks
+
+    small = spark.range(10).selectExpr("id as src", "id+1 as dst")
+    assert auto_num_blocks(small, 32) == 1  # tiny graph → one block
+    n = EDGES_PER_BLOCK * 3 + 1
+    big = spark.range(n).selectExpr("id as src", "id+1 as dst")
+    assert auto_num_blocks(big, 32) == 4    # ceil(n / EDGES_PER_BLOCK)
+    assert auto_num_blocks(big, 2) == 2     # capped by parallelism
+
+
+def test_write_table_roundtrip(spark, tmp_path):
+    from linkgraph.io import write_table
+
+    df = spark.createDataFrame([(1, 2.0), (3, 4.0)], "id long, rank double")
+    out = str(tmp_path / "ranks")
+    write_table(df, out)
+    back = spark.read.parquet(out)
+    assert {tuple(r) for r in back.collect()} == {(1, 2.0), (3, 4.0)}
+
+
+def test_stream_quality_matches_batch(spark, tmp_path):
+    from linkgraph.pipeline.text import quality_scores
+    from linkgraph.streaming import read_document_stream, run_available_now, stream_quality_scores
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat", "en", "s", 11), (1, "a b", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(tmp_path / "docs_q")
+    docs.write.parquet(path)
+    got = {r["doc_id"]: r["n_tokens"]
+           for r in run_available_now(stream_quality_scores(read_document_stream(spark, path)), "q_stream")}
+    want = {r["doc_id"]: r["n_tokens"] for r in quality_scores(docs).collect()}
+    assert got == want
