@@ -3,6 +3,7 @@ pure-python oracles. Few examples per property — each example spins Spark
 jobs — but seeds vary across runs, widening coverage over time."""
 
 import numpy as np
+import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from linkgraph.graph import Graph
@@ -133,3 +134,31 @@ def test_scc_matches_tarjan_property(spark, g):
     a = {r["id"]: r["component"] for r in scc(gr).collect()}
     b = {r["id"]: r["component"] for r in scc_tarjan(gr).collect()}
     assert a == b
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 8), st.integers(0, 6)),
+                min_size=1, max_size=40))
+def test_jaccard_inverted_index_matches_bruteforce(spark, pairs):
+    """Inverted-index jaccard equals brute-force set jaccard on random
+    (item, category) incidence data."""
+    from linkgraph.algorithms.similarity import jaccard
+
+    df = spark.createDataFrame(
+        sorted(set(pairs)), "item long, category long"
+    )
+    got = {(r["a"], r["b"]): r["similarity"]
+           for r in jaccard(df, "item", "category").collect()}
+    sets = {}
+    for i, c in set(pairs):
+        sets.setdefault(i, set()).add(c)
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                assert (a, b) not in got
+                continue
+            want = round(inter / len(sets[a] | sets[b]), 5)  # proc rounds to 5dp
+            assert got[(a, b)] == pytest.approx(want, abs=1e-9)
