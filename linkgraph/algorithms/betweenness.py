@@ -42,12 +42,27 @@ def _ensure_store(graph: Graph, direction: str, store_path: str | None) -> tuple
     n = int(graph.nodes.agg(F.max("id")).first()[0]) + 1
     if blocks.store_exists(store_path):
         blocks.validate_store(store_path, "push")
+        m = blocks.read_manifest(store_path)
+        # reject direction / graph drift: a reused store built with another
+        # direction or node range silently yields wrong centralities
+        if m.get("direction") is not None and m["direction"] != direction:
+            raise ValueError(
+                f"store at {store_path} was built direction={m['direction']}; "
+                f"this run needs {direction} — rebuild or point elsewhere"
+            )
+        if m.get("n") is not None and int(m["n"]) != n:
+            raise ValueError(
+                f"store at {store_path} was built for n={m['n']} nodes, "
+                f"graph has n={n} — rebuild or point elsewhere"
+            )
     else:
         edges = (
             graph.undirected_edges() if direction == "BOTH" else graph.edges
         ).select("src", "dst", "weight")
         b = graph.nodes.sparkSession.sparkContext.defaultParallelism
-        blocks.write_edge_blocks(edges, b, store_path)
+        blocks.write_edge_blocks(
+            edges, b, store_path, meta_extra={"direction": direction, "n": n}
+        )
     return store_path, n
 
 

@@ -61,6 +61,12 @@ _PULL_ARRAYS = ["src", "slice_pos", "w_norm"]
 
 EDGES_PER_BLOCK = 1 << 18  # ≥256k edges per block: real numpy work per task
 
+# Shared hybrid crossover: row counts at or below this fit comfortably on the
+# driver, so the driver-numpy path (union-find, coarsened Louvain, InfoMap
+# sweeps) beats ~10 distributed fixpoint jobs. One constant — tuning it for
+# a bigger driver moves every algorithm's crossover together.
+DRIVER_EDGE_THRESHOLD = 2_000_000
+
 
 def auto_num_blocks(edges, parallelism: int) -> int:
     """Size the block count by edge VOLUME, capped by parallelism.
@@ -228,7 +234,11 @@ def _build_push_writer(path: str):
 
 
 def write_edge_blocks(
-    edges: DataFrame, num_blocks: int, path: str, weighted: bool | None = None
+    edges: DataFrame,
+    num_blocks: int,
+    path: str,
+    weighted: bool | None = None,
+    meta_extra: dict | None = None,
 ) -> None:
     """Materialize the CSR block store once under `path/part=K/*.npy`."""
     os.makedirs(path, exist_ok=True)
@@ -239,6 +249,8 @@ def write_edge_blocks(
     meta = {"layout": "push"}
     if weighted is not None:
         meta["weighted"] = bool(weighted)
+    if meta_extra:
+        meta.update(meta_extra)
     _finalize_store(manifest, path, num_blocks, meta)
 
 

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from linkgraph.graph import Graph
 
-DRIVER_EDGE_THRESHOLD = 2_000_000
+from linkgraph.algorithms.blocks import DRIVER_EDGE_THRESHOLD  # shared crossover
 
 
 def _plogp(x):
@@ -123,6 +123,10 @@ def infomap(
         um, inv = np.unique(mods, return_inverse=True)
         return um, np.bincount(inv, weights=of), np.bincount(inv, weights=inf_)
 
+    # running Σq maintained incrementally — recomputing the O(n) sum inside
+    # the per-candidate loop would make each sweep O(m·n)
+    q_tot = float(q_mod.sum())
+
     for _ in range(max_sweeps):
         moved = 0
         for i in range(n):
@@ -154,9 +158,8 @@ def infomap(
                     + _plogp(np.array([q_cur_new + p_cur_new, q_m_new + p_m_new])).sum()
                 )
                 dq = (q_cur_new + q_m_new) - (q_mod[cur] + q_mod[m])
-                q_old_tot = q_mod.sum()
-                d_total = _plogp(np.array([q_old_tot + dq]))[0] - _plogp(
-                    np.array([q_old_tot])
+                d_total = _plogp(np.array([q_tot + dq]))[0] - _plogp(
+                    np.array([q_tot])
                 )[0]
                 gain = (new_terms - old_terms) + d_total
                 if gain < best_gain - 1e-12 or (
@@ -165,11 +168,13 @@ def infomap(
                     best_gain, best_mod = gain, m
             if best_mod != cur:
                 k = int(np.searchsorted(um, best_mod))
+                q_before = q_mod[cur] + q_mod[best_mod]
                 # clip: repeated incremental updates can drift ε below zero
                 q_mod[cur] = max(q_cur_without, 0.0)
                 q_mod[best_mod] = max(
                     q_mod[best_mod] + node_out_flow[i] - of[k] - inf_[k], 0.0
                 )
+                q_tot += (q_mod[cur] + q_mod[best_mod]) - q_before
                 p_mod[cur] -= p[i]
                 p_mod[best_mod] += p[i]
                 module[i] = best_mod

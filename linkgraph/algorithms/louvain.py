@@ -31,7 +31,7 @@ from linkgraph.graph import Graph
 
 # below this many (both-direction) edge rows the whole multilevel loop runs
 # in one numpy kernel on the driver — Spark job overhead dominates there
-DRIVER_EDGE_THRESHOLD = 2_000_000
+from linkgraph.algorithms.blocks import DRIVER_EDGE_THRESHOLD  # shared crossover
 
 
 # ------------------------------------------------------------- numpy kernel
@@ -120,6 +120,13 @@ def _np_louvain(src, dst, w, n: int, m2: float, max_levels: int,
     rep = np.full(int(mapping.max()) + 1, n, dtype=np.int64)
     np.minimum.at(rep, mapping, np.arange(n, dtype=np.int64))
     return rep[mapping], levels, prev_q
+
+
+def _canon_level(lv: np.ndarray, n: int) -> np.ndarray:
+    """Canonicalize one level's community labels to min member dense index."""
+    rep = np.full(int(lv.max()) + 1, n, dtype=np.int64)
+    np.minimum.at(rep, lv, np.arange(n, dtype=np.int64))
+    return rep[lv]
 
 
 def _collect_edges(und: DataFrame):
@@ -299,7 +306,18 @@ def louvain(
             .join(mdf, "id", "left")
             .select("id", F.coalesce("comm", "id").alias("comm"))
         )
-        levels = [mdf] if include_intermediate else []
+        levels = []
+        if include_intermediate:
+            for lv in lv_np:
+                canon = _canon_level(lv, n)
+                ldf = spark.createDataFrame(
+                    pd.DataFrame({"id": ids, "comm": ids[canon]})
+                )
+                levels.append(
+                    nodes.select("id")
+                    .join(ldf, "id", "left")
+                    .select("id", F.coalesce("comm", "id").alias("comm"))
+                )
         return _result(mdf, q, levels)
 
     # ---- distributed level 1, then driver for the coarsened levels
@@ -333,8 +351,10 @@ def louvain(
         super_pdf = pd.DataFrame({"comm": cids, "final": cids[cmap]})
         super_df = spark.createDataFrame(super_pdf)
         mapping = (
-            mapping.join(super_df, "comm")
-            .select("id", F.col("final").alias("comm"))
+            # left join: communities absent from the coarsened edge table
+            # (isolated / self-loop-only) keep their level-1 label
+            mapping.join(super_df, "comm", "left")
+            .select("id", F.coalesce("final", "comm").alias("comm"))
             .localCheckpoint(eager=True)
         )
         if q <= q1:

@@ -308,8 +308,11 @@ def weighted_all_shortest_paths(
                     cand = d + w[lo:hi]
                     better = cand < dist[nbrs]
                     for v, nd in zip(nbrs[better], cand[better]):
-                        dist[v] = nd
-                        heapq.heappush(heap, (float(nd), int(v)))
+                        # re-check: parallel edges to the same neighbor can
+                        # both pass the vectorized mask; keep only the min
+                        if nd < dist[v]:
+                            dist[v] = nd
+                            heapq.heappush(heap, (float(nd), int(v)))
                 reached = np.flatnonzero(np.isfinite(dist))
                 reached = reached[reached != s]
                 out_s.extend([s] * len(reached))

@@ -26,6 +26,7 @@ import numpy as np
 
 from pyspark.sql import DataFrame, functions as F
 
+from linkgraph.algorithms.blocks import DRIVER_EDGE_THRESHOLD
 from linkgraph.graph import Graph
 
 
@@ -416,7 +417,7 @@ def minimum_spanning_forest(graph: Graph, maximum: bool = False) -> DataFrame:
         # that is driver-sized, a numpy union-find beats ~10 distributed WCC
         # jobs (same hybrid as Louvain's coarsened levels); the distributed
         # WCC remains the path for the first rounds at 10^9-component scale.
-        if n_picks <= 2_000_000:
+        if n_picks <= DRIVER_EDGE_THRESHOLD:
             from linkgraph.algorithms.wcc import union_find_mapping
 
             mapping = union_find_mapping(picks.select("c1", "c2"), spark).select(
@@ -455,7 +456,7 @@ def k_spanning_tree(graph: Graph, k: int, maximum: bool = False) -> DataFrame:
     cuts = forest.orderBy(order, F.asc("src"), F.asc("dst")).limit(max(k - 1, 0))
     kept = forest.join(cuts, ["src", "dst"], "left_anti").localCheckpoint(eager=True)
     # tree has n-1 edges; hybrid labeling like the Borůvka contraction
-    if kept.count() <= 2_000_000:
+    if kept.count() <= DRIVER_EDGE_THRESHOLD:
         from linkgraph.algorithms.wcc import union_find_mapping
 
         mapping = union_find_mapping(kept.select("src", "dst"))

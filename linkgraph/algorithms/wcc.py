@@ -97,7 +97,7 @@ def wcc(
         e = _star(e, large=True).localCheckpoint(eager=True)
         e = _star(e, large=False).localCheckpoint(eager=True)
         fp = _fingerprint(e)
-        if checkpoint is not None and step % checkpoint_every == 0:
+        if checkpoint is not None and checkpoint_every and step % checkpoint_every == 0:
             e = checkpoint.write(e, step, {"iteration": step})
         if fp == prev_fp:
             break

@@ -36,8 +36,10 @@ def as_nodes(result: DataFrame, nodes: DataFrame, ids_col: str,
     """`algo.asNodes([ids])` — rehydrate an ARRAY column of node ids into an
     array of property structs (explode → join → re-collect, order kept)."""
     out = out_col or f"{ids_col}_nodes"
+    # posexplode_outer keeps rows whose ids array is empty/null (they come
+    # back with an empty node array instead of being silently dropped)
     exploded = result.withColumn("_pos", F.monotonically_increasing_id()).select(
-        "*", F.posexplode(ids_col)
+        "*", F.posexplode_outer(ids_col)
     ).withColumnRenamed("col", "_nid").withColumnRenamed("pos", "_ord")
     props = nodes.select(
         F.col(id_col).alias("_nid"),
@@ -49,7 +51,13 @@ def as_nodes(result: DataFrame, nodes: DataFrame, ids_col: str,
         joined.groupBy(*group_cols)
         .agg(
             F.transform(
-                F.sort_array(F.collect_list(F.struct("_ord", "_node"))),
+                F.sort_array(
+                    F.collect_list(  # NULL entries (empty arrays) skipped
+                        F.when(
+                            F.col("_ord").isNotNull(), F.struct("_ord", "_node")
+                        )
+                    )
+                ),
                 lambda s: s["_node"],
             ).alias(out)
         )

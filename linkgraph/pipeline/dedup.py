@@ -40,21 +40,24 @@ def token_jaccard_pairs(
     count intersections, |∪| from per-doc distinct counts. No cross-join —
     cost is Σ_token df(token)². ``max_doc_freq`` drops tokens whose document
     frequency exceeds the cutoff BEFORE the join: at corpus scale one
-    stopword token otherwise dominates the whole sum (df² blow-up). Pairs
-    only sharing dropped tokens are missed — standard prefix-filter
-    trade-off; at high thresholds route through minhash_lsh_candidates
-    first and use this as the exact verifier on candidates.
+    stopword token otherwise dominates the whole sum (df² blow-up). With a
+    cutoff, BOTH intersection and union are computed over the FILTERED
+    vocabulary (consistent jaccard on the restricted token space — union
+    sizes from unfiltered counts would understate every pair containing a
+    dropped token); pairs sharing only dropped tokens are missed — standard
+    prefix-filter trade-off; at high thresholds route through
+    minhash_lsh_candidates first and use this as the exact verifier.
     """
     dtok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
     ).persist()
-    dcnt = dtok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
     joinable = dtok
     if max_doc_freq is not None:
         dfreq = dtok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
         joinable = dtok.join(
             dfreq.filter(F.col("df") <= max_doc_freq).select("tok"), "tok"
         )
+    dcnt = joinable.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
     a = joinable.select(F.col("doc_id").alias("a"), "tok")
     b = joinable.select(F.col("doc_id").alias("b"), "tok")
     inter = (

@@ -167,6 +167,10 @@ def incremental_wcc(
         g = Graph.from_edges(union)
         mapping = _wcc(g).select("id", "component")
         nxt_name = f"v{batch_id}"
+        if cur is not None and os.path.basename(cur) == nxt_name:
+            # checkpoint replay of a batch whose mapping already committed:
+            # never overwrite the dir being read — write the alternate name
+            nxt_name = f"v{batch_id}r"
         mapping.write.mode("overwrite").parquet(os.path.join(state_dir, nxt_name))
         tmp = pointer + ".tmp"
         with open(tmp, "w") as f:

@@ -287,3 +287,32 @@ def test_stream_quality_matches_batch(spark, tmp_path):
            for r in run_available_now(stream_quality_scores(read_document_stream(spark, path)), "q_stream")}
     want = {r["doc_id"]: r["n_tokens"] for r in quality_scores(docs).collect()}
     assert got == want
+
+
+def test_as_nodes_keeps_empty_arrays(spark):
+    from linkgraph.functions.nodes import as_nodes
+
+    nodes = spark.createDataFrame([(0, "a"), (1, "b")], "id long, name string")
+    res = spark.createDataFrame(
+        [(1, [1, 0]), (2, []), (3, None)],
+        "k long, path array<bigint>",
+    )
+    got = {r["k"]: [s["name"] for s in r["path_nodes"]]
+           for r in as_nodes(res, nodes, "path").collect()}
+    assert got == {1: ["b", "a"], 2: [], 3: []}  # empty/null rows retained
+
+
+def test_weighted_apsp_parallel_edges_keep_min(spark):
+    """Duplicate (src,dst) edges with different weights: the CSR Dijkstra
+    must keep the lighter relaxation (regression: last-write-wins)."""
+    from linkgraph.algorithms.msbfs import weighted_all_shortest_paths
+    from linkgraph.graph import Graph
+    from tests.conftest import edges_df
+
+    e = edges_df(spark, [(0, 1, 5.0), (0, 1, 1.0), (1, 2, 1.0)])
+    g = Graph.from_edges(e)  # duplicate_relationships='none' keeps both
+    # OUTGOING keeps raw parallel edges (BOTH dedups reciprocals by max)
+    got = {(r["source"], r["target"]): r["distance"]
+           for r in weighted_all_shortest_paths(g, direction="OUTGOING").collect()}
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 2)] == 2.0
