@@ -203,3 +203,126 @@ def cosine_topk_ivf(
         .filter(F.col("_rn") <= k)
         .select("a", "b", "cosine")
     )
+
+
+# ------------------------------------------------------------------- PQ
+def pq_train(
+    corpus: DataFrame,
+    num_subspaces: int = 8,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    max_sample: int = 100_000,
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Product-quantization codebooks → (M, 2^bits, dim/M) array.
+
+    Jégou et al. TPAMI'11: split the vector into M subspaces, k-means each
+    independently over a BOUNDED hash-spread sample. At 100 TB the codes
+    (M bytes/vector vs 4·dim) are what make exhaustive re-ranking and
+    memory-resident candidate scans feasible."""
+    k = 1 << bits
+    pool = np.array(
+        corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
+        .limit(max_sample)
+        .toPandas()["v"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    n, dim = pool.shape
+    if dim % num_subspaces:
+        raise ValueError(f"dim {dim} not divisible by M={num_subspaces}")
+    sub = dim // num_subspaces
+    rng = np.random.RandomState(seed)
+    books = np.empty((num_subspaces, k, sub))
+    for m in range(num_subspaces):
+        x = pool[:, m * sub : (m + 1) * sub]
+        cent = x[rng.choice(n, size=min(k, n), replace=False)]
+        if len(cent) < k:  # tiny corpora: pad with jittered repeats
+            extra = cent[rng.choice(len(cent), k - len(cent))]
+            cent = np.vstack([cent, extra + rng.normal(scale=1e-6, size=extra.shape)])
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = x[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[m] = cent
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — per-subspace nearest-centroid codes,
+    Arrow-vectorized; M bytes of state per vector at bits≤8."""
+    books = codebooks.astype(np.float64)
+    n_sub, _, sub = books.shape
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        codes = np.empty((x.shape[0], n_sub), dtype=np.int32)
+        for m in range(n_sub):
+            xs = x[:, m * sub : (m + 1) * sub]
+            d2 = ((xs[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = d2.argmin(axis=1).astype(np.int32)
+        return pd.Series(list(codes))
+
+    return df.select(F.col(id_col).alias("id"), encode(F.col(vec_col)).alias("codes"))
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: per query build the M×2^bits lookup table
+    (exact query-to-centroid distances), then every corpus vector scores as
+    M table lookups over its codes — no decode, no cross-join of raw
+    vectors. → (a, b, adc) smaller adc = closer (squared L2)."""
+    books = codebooks.astype(np.float64)
+    n_sub, k_cent, sub = books.shape
+
+    q = queries.select(F.col(id_col).alias("a"), F.col(vec_col).alias("qv"))
+    c = corpus_codes.select(F.col("id").alias("b"), "codes")
+    # scored via LUT inside Arrow, never raw-vector math; self-pairs
+    # excluded BEFORE ranking so every query gets k real neighbors
+    pairs = q.crossJoin(c).filter(F.col("a") != F.col("b"))
+
+    @pandas_udf("double")
+    def adc(qvs: pd.Series, codes: pd.Series) -> pd.Series:
+        out = np.empty(len(qvs))
+        lut_cache: dict = {}
+        cd = np.array(codes.tolist(), dtype=np.int64)
+        qarr = np.array(qvs.tolist(), dtype=np.float64)
+        # one LUT per distinct query in the batch
+        keys = [qv.tobytes() for qv in qarr]
+        for i, key in enumerate(keys):
+            lut = lut_cache.get(key)
+            if lut is None:
+                lut = np.empty((n_sub, k_cent))
+                for m in range(n_sub):
+                    qs = qarr[i, m * sub : (m + 1) * sub]
+                    lut[m] = ((books[m] - qs[None, :]) ** 2).sum(axis=1)
+                lut_cache[key] = lut
+            out[i] = lut[np.arange(n_sub), cd[i]].sum()
+        return pd.Series(out)
+
+    scored = pairs.select(
+        "a", "b", F.round(adc(F.col("qv"), F.col("codes")), 6).alias("adc")
+    )
+    win = Window.partitionBy("a").orderBy(F.asc("adc"), F.asc("b"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .select("a", "b", "adc")
+    )

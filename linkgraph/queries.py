@@ -1864,6 +1864,19 @@ SELECT a, b, cosine FROM (
     )
 
 
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: train codebooks, encode the corpus,
+    asymmetric-distance top-3 for the first 20 query vectors (rows-only:
+    PQ codes depend on seeded k-means, not SQL-reproducible)."""
+    from linkgraph.pipeline.ann import pq_encode, pq_topk, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_train(emb, num_subspaces=8, bits=6, iters=4)
+    codes = pq_encode(emb, books)
+    qs = emb.filter(F.col("vec_id") < 20)
+    return pq_topk(qs, codes, books, k=3)
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.pipeline.multimodal import frame_sample, synthesize_media
 
@@ -1941,6 +1954,7 @@ QUERIES = {
     "simhash_candidates": q_simhash_candidates,
     "emb_cosine_ivf": q_emb_cosine_ivf,
     "emb_near_dup": q_emb_near_dup,
+    "emb_pq_topk": q_emb_pq_topk,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
 }

