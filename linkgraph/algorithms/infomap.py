@@ -78,6 +78,10 @@ def infomap(
     ranks = PageRank(
         damping=damping,
         max_iterations=pr_iterations,
+        # pull: early stop once visit rates stabilize — the delta check is
+        # a driver-side numpy max, zero extra Spark jobs. csr: skip it (a
+        # per-iteration delta join would cost more than it saves).
+        tolerance=1e-10 if strat == "pull" else None,
         weighted=weighted,
         strategy=strat,
     ).run(graph)
