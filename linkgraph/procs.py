@@ -128,6 +128,12 @@ def call(name: str, *args, **kwargs):
 
     if name not in _REGISTRY:
         raise KeyError(f"unknown procedure {name!r}; see algo.list")
+    # reference config keys that Spark manages itself (executor/task
+    # parallelism, scan batching) — accepted and ignored for call parity,
+    # so a migrated `CALL algo.x(..., concurrency: 4)` keeps working
+    for noop in ("concurrency", "readConcurrency", "writeConcurrency",
+                 "batchSize", "graph"):
+        kwargs.pop(noop, None)
     impl, _desc = _REGISTRY[name]
     parts = impl.split(".")
     # longest importable module prefix, then walk attributes

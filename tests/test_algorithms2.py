@@ -381,3 +381,12 @@ def test_procs_call_dispatch(spark):
     import pytest as _pt
     with _pt.raises(KeyError):
         call("algo.nope")
+
+
+def test_procs_call_ignores_reference_concurrency_keys(spark):
+    from linkgraph.procs import call
+
+    g = _g(spark, PATH5, ids=range(5))
+    out = call("algo.unionFind", g, concurrency=4, batchSize=100,
+               readConcurrency=2, graph="heavy")
+    assert out.count() == 5
