@@ -162,3 +162,39 @@ def test_jaccard_inverted_index_matches_bruteforce(spark, pairs):
                 continue
             want = round(inter / len(sets[a] | sets[b]), 5)  # proc rounds to 5dp
             assert got[(a, b)] == pytest.approx(want, abs=1e-9)
+
+
+@settings(**SETTINGS)
+@given(graphs())
+def test_msbfs_distance_sums_match_numpy_bfs(spark, g):
+    """Chunked bitset MSBFS (reachable, Σd) equals per-source numpy BFS."""
+    from linkgraph.algorithms.msbfs import msbfs_distance_sums
+
+    n, edges = g
+    if not edges:
+        return
+    gr = Graph.from_edges(edges_df(spark, edges))
+    got = {r["id"]: (r["reachable"], r["dist_sum"])
+           for r in msbfs_distance_sums(gr, direction="BOTH").collect()}
+    # numpy BFS over the undirected graph restricted to edge-endpoint nodes
+    ids = sorted({a for a, b, _ in edges} | {b for a, b, _ in edges})
+    idx = {v: i for i, v in enumerate(ids)}
+    m = len(ids)
+    adj = [[] for _ in range(m)]
+    for a, b, _ in edges:
+        adj[idx[a]].append(idx[b])
+        adj[idx[b]].append(idx[a])
+    import collections
+    for v in ids:
+        dist = [-1] * m
+        dist[idx[v]] = 0
+        dq = collections.deque([idx[v]])
+        while dq:
+            u = dq.popleft()
+            for w_ in adj[u]:
+                if dist[w_] < 0:
+                    dist[w_] = dist[u] + 1
+                    dq.append(w_)
+        reach = sum(1 for d in dist if d > 0)
+        dsum = float(sum(d for d in dist if d > 0))
+        assert got[v] == (reach, dsum), (v, got[v], (reach, dsum))
