@@ -198,3 +198,23 @@ def test_msbfs_distance_sums_match_numpy_bfs(spark, g):
         reach = sum(1 for d in dist if d > 0)
         dsum = float(sum(d for d in dist if d > 0))
         assert got[v] == (reach, dsum), (v, got[v], (reach, dsum))
+
+
+@settings(**SETTINGS)
+@given(graphs())
+def test_delta_stepping_matches_dijkstra_property(spark, g):
+    """Distributed delta-stepping equals driver Dijkstra on random weighted
+    digraphs (weights 1 + (src+dst) % 3)."""
+    from linkgraph.algorithms.paths import delta_stepping, shortest_paths
+
+    n, edges = g
+    if not edges:
+        return
+    weighted = [(a, b, 1.0 + (a + b) % 3) for a, b, _ in edges]
+    gr = Graph.from_edges(edges_df(spark, weighted))
+    src = min(a for a, b, _ in weighted)
+    dij = {r["node_id"]: r["distance"]
+           for r in shortest_paths(gr, src).collect()}
+    ds = {r["node_id"]: r["distance"]
+          for r in delta_stepping(gr, src, delta=2.0).collect()}
+    assert ds == dij
