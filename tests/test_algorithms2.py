@@ -390,3 +390,19 @@ def test_procs_call_ignores_reference_concurrency_keys(spark):
     out = call("algo.unionFind", g, concurrency=4, batchSize=100,
                readConcurrency=2, graph="heavy")
     assert out.count() == 5
+
+
+def test_catalog_save_and_load_from(spark, tmp_path):
+    from linkgraph.catalog import GraphCatalog
+
+    cat = GraphCatalog()
+    g = _g(spark, PATH5, ids=range(5))
+    cat.load("p5", g)
+    path = str(tmp_path / "p5_store")
+    cat.save("p5", path)
+    cat.remove("p5")
+
+    cat2 = GraphCatalog()
+    g2 = cat2.load_from(spark, "p5", path)
+    assert g2.num_nodes() == 5 and g2.num_edges() == 4
+    assert cat2.info("p5")["relationships"] == 4
