@@ -119,6 +119,43 @@ def sql_doc_pagerank() -> str:
     return "\n".join(parts)
 
 
+PR_CONV_ITERS = 60  # oracle unroll bound; past convergence extra iters no-op
+
+
+def q_doc_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-to-convergence semantics (tolerance/didConverge, the reference's
+    PageRank.tolerance): iterate until max|Δ| < 1e-9, assert convergence,
+    compare against an oracle unrolled well past the convergence point
+    (extra fixpoint iterations change nothing at 5-decimal rounding)."""
+    from linkgraph.algorithms.pagerank import PageRank
+
+    g = doc_graph(spark, sf_dir)
+    pr = PageRank(
+        damping=DAMPING, max_iterations=PR_CONV_ITERS, tolerance=1e-9, strategy="pull"
+    )
+    ranks = pr.run(g)
+    assert pr.metrics.did_converge, "PageRank did not converge within bound"
+    return ranks.select("id", F.round("rank", 5).alias("rank"))
+
+
+def sql_doc_pagerank_converged() -> str:
+    parts = [_PROLOG]
+    parts.append(", outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS wsum FROM edges GROUP BY src)")
+    parts.append(", c0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes)")
+    for k in range(1, PR_CONV_ITERS + 1):
+        parts.append(
+            f""", c{k} AS MATERIALIZED (
+  SELECT n.id, {_ONE_MINUS_D} + {_D} * COALESCE(c.s, CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank / o.wsum) AS s
+    FROM edges e JOIN c{k - 1} r ON e.src = r.id JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) c ON n.id = c.id)"""
+        )
+    parts.append(f"SELECT id, ROUND(rank, 5) AS rank FROM c{PR_CONV_ITERS}")
+    return "\n".join(parts)
+
+
 def q_doc_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PR: deterministic edge weight 1 + (src+dst) % 3."""
     from linkgraph.algorithms.pagerank import PageRank
@@ -1888,6 +1925,7 @@ QUERIES = {
     "doc_pagerank_weighted": q_doc_pagerank_weighted,
     "doc_pagerank_personalized": q_doc_pagerank_personalized,
     "doc_pagerank_pull": q_doc_pagerank_pull,
+    "doc_pagerank_converged": q_doc_pagerank_converged,
     "doc_article_rank": q_doc_article_rank,
     "doc_eigenvector": q_doc_eigenvector,
     "doc_sssp": q_doc_sssp,
@@ -1964,6 +2002,7 @@ ORACLES = {
     "doc_pagerank_weighted": sql_doc_pagerank_weighted(),
     "doc_pagerank_personalized": sql_doc_pagerank_personalized(),
     "doc_pagerank_pull": sql_doc_pagerank(),
+    "doc_pagerank_converged": sql_doc_pagerank_converged(),
     "doc_article_rank": sql_doc_article_rank(),
     "doc_eigenvector": sql_doc_eigenvector(),
     "doc_sssp": sql_doc_sssp(),
