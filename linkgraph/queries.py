@@ -269,7 +269,7 @@ def q_doc_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.round("rank", 5).alias("rank"))
 
 
-def sql_doc_eigenvector() -> str:
+def _sql_eigenvector_base() -> str:
     parts = [_PROLOG]
     parts.append(", r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes)")
     for k in range(1, EV_ITERS + 1):
@@ -284,11 +284,34 @@ def sql_doc_eigenvector() -> str:
                      ELSE sqrt(SUM(rank*rank)) END FROM c{k}) AS rank
   FROM c{k})"""
         )
-    parts.append(
-        f"""SELECT id, ROUND(rank / (SELECT CASE WHEN MAX(rank) = 0 THEN 1.0
+    return "\n".join(parts)
+
+
+def sql_doc_eigenvector() -> str:
+    return (
+        _sql_eigenvector_base()
+        + f"""
+SELECT id, ROUND(rank / (SELECT CASE WHEN MAX(rank) = 0 THEN 1.0
         ELSE MAX(rank) END FROM r{EV_ITERS}), 5) AS rank FROM r{EV_ITERS}"""
     )
-    return "\n".join(parts)
+
+
+def q_doc_eigenvector_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eigenvector norm variant: l1norm (scores sum to 1)."""
+    from linkgraph.algorithms.pagerank import eigenvector_centrality
+
+    g = doc_graph(spark, sf_dir)
+    out = eigenvector_centrality(g, max_iterations=EV_ITERS, normalization="l1norm")
+    return out.select("id", F.round("rank", 6).alias("rank"))
+
+
+def sql_doc_eigenvector_l1() -> str:
+    return (
+        _sql_eigenvector_base()
+        + f"""
+SELECT id, ROUND(rank / (SELECT CASE WHEN SUM(rank) = 0 THEN 1.0
+        ELSE SUM(rank) END FROM r{EV_ITERS}), 6) AS rank FROM r{EV_ITERS}"""
+    )
 
 
 SSSP_ROUNDS = 24
@@ -1926,6 +1949,7 @@ QUERIES = {
     "doc_pagerank_personalized": q_doc_pagerank_personalized,
     "doc_pagerank_pull": q_doc_pagerank_pull,
     "doc_pagerank_converged": q_doc_pagerank_converged,
+    "doc_eigenvector_l1": q_doc_eigenvector_l1,
     "doc_article_rank": q_doc_article_rank,
     "doc_eigenvector": q_doc_eigenvector,
     "doc_sssp": q_doc_sssp,
@@ -2003,6 +2027,7 @@ ORACLES = {
     "doc_pagerank_personalized": sql_doc_pagerank_personalized(),
     "doc_pagerank_pull": sql_doc_pagerank(),
     "doc_pagerank_converged": sql_doc_pagerank_converged(),
+    "doc_eigenvector_l1": sql_doc_eigenvector_l1(),
     "doc_article_rank": sql_doc_article_rank(),
     "doc_eigenvector": sql_doc_eigenvector(),
     "doc_sssp": sql_doc_sssp(),
