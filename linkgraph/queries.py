@@ -1051,6 +1051,29 @@ FROM nodes n LEFT JOIN sums s ON n.id = s.id"""
     )
 
 
+def q_doc_closeness_wf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserman–Faust 'improved' closeness: (r/(n−1))·(r/Σd)."""
+    from linkgraph.algorithms.msbfs import closeness_centrality
+
+    g = doc_graph(spark, sf_dir)
+    out = closeness_centrality(g, improved=True, direction="BOTH")
+    return out.select("id", F.round("centrality", 5).alias("centrality"))
+
+
+def sql_doc_closeness_wf() -> str:
+    return (
+        _PROLOG
+        + _apsp_ctes()
+        + """
+, sums AS (SELECT source AS id, COUNT(*) AS r, SUM(d) AS ds FROM apsp GROUP BY source)
+SELECT n.id,
+       ROUND(CASE WHEN COALESCE(s.ds, 0) > 0
+             THEN (s.r / ((SELECT COUNT(*) FROM nodes) - 1.0)) * (s.r / CAST(s.ds AS DOUBLE))
+             ELSE 0.0 END, 5) AS centrality
+FROM nodes n LEFT JOIN sums s ON n.id = s.id"""
+    )
+
+
 def sql_doc_harmonic() -> str:
     return (
         _PROLOG
@@ -1995,6 +2018,7 @@ QUERIES = {
     "user_cosine_sparse": q_user_cosine_sparse,
     "user_sim_summary": q_user_sim_summary,
     "doc_closeness": q_doc_closeness,
+    "doc_closeness_wf": q_doc_closeness_wf,
     "doc_harmonic": q_doc_harmonic,
     "doc_dangalchev": q_doc_dangalchev,
     "doc_allsp": q_doc_allsp,
@@ -2074,6 +2098,7 @@ ORACLES = {
     "user_cosine_sparse": sql_user_cosine_sparse(),
     "user_sim_summary": sql_user_sim_summary(),
     "doc_closeness": sql_doc_closeness(),
+    "doc_closeness_wf": sql_doc_closeness_wf(),
     "doc_harmonic": sql_doc_harmonic(),
     "doc_dangalchev": sql_doc_dangalchev(),
     "doc_allsp": sql_doc_allsp(),
