@@ -1294,6 +1294,31 @@ SELECT CAST(user_id % 50 AS BIGINT) AS src,
 FROM events GROUP BY 1, 2"""
 
 
+def q_rel_dedup_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duplicateRelationships=min and =max side by side on one edge table."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = events.select(
+        F.pmod(F.col("user_id"), F.lit(50)).cast("long").alias("src"),
+        F.pmod(F.ascii(F.substring("event_type", 1, 1)), F.lit(50)).cast("long").alias("dst"),
+        F.col("value").alias("weight"),
+    )
+    gmin = Graph.from_edges(raw, duplicate_relationships="min").edges.select(
+        "src", "dst", F.round("weight", 5).alias("w_min")
+    )
+    gmax = Graph.from_edges(raw, duplicate_relationships="max").edges.select(
+        "src", "dst", F.round("weight", 5).alias("w_max")
+    )
+    return gmin.join(gmax, ["src", "dst"])
+
+
+def sql_rel_dedup_minmax() -> str:
+    return """
+SELECT CAST(user_id % 50 AS BIGINT) AS src,
+       CAST(ascii(substr(event_type, 1, 1)) % 50 AS BIGINT) AS dst,
+       ROUND(MIN(value), 5) AS w_min, ROUND(MAX(value), 5) AS w_max
+FROM events GROUP BY 1, 2"""
+
+
 # ------------------------------------------------------ vector similarity procs
 def _emb_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -2015,6 +2040,7 @@ QUERIES = {
     "emb_pearson_procs": q_emb_pearson_procs,
     "scalar_functions": q_scalar_functions,
     "rel_dedup_sum": q_rel_dedup_sum,
+    "rel_dedup_minmax": q_rel_dedup_minmax,
     "user_cosine_sparse": q_user_cosine_sparse,
     "user_sim_summary": q_user_sim_summary,
     "doc_closeness": q_doc_closeness,
@@ -2095,6 +2121,7 @@ ORACLES = {
     "emb_pearson_procs": sql_emb_pearson_procs(),
     "scalar_functions": sql_scalar_functions(),
     "rel_dedup_sum": sql_rel_dedup_sum(),
+    "rel_dedup_minmax": sql_rel_dedup_minmax(),
     "user_cosine_sparse": sql_user_cosine_sparse(),
     "user_sim_summary": sql_user_sim_summary(),
     "doc_closeness": sql_doc_closeness(),
