@@ -1,0 +1,49 @@
+"""Contract-surface guards: every oracle references a registered query and
+parses/plans in DuckDB against the real table schemas — catches key typos
+and SQL syntax drift without running the full gate."""
+
+import duckdb
+import pytest
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    return c
+
+
+def test_oracle_keys_subset_of_queries():
+    from linkgraph.queries import ORACLES, QUERIES
+
+    assert set(ORACLES) <= set(QUERIES)
+    assert len(QUERIES) >= 75
+
+
+def test_every_oracle_plans_in_duckdb(con):
+    from linkgraph.queries import ORACLES
+
+    for name, sql in ORACLES.items():
+        try:
+            con.execute("EXPLAIN " + sql)
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"oracle {name} failed to plan: {e}") from e
+
+
+def test_entry_module_exposes_contract():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "__spark_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qs, os_ = mod.queries(), mod.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert callable(next(iter(qs.values())))
