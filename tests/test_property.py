@@ -218,3 +218,46 @@ def test_delta_stepping_matches_dijkstra_property(spark, g):
     ds = {r["node_id"]: r["distance"]
           for r in delta_stepping(gr, src, delta=2.0).collect()}
     assert ds == dij
+
+
+@settings(**SETTINGS)
+@given(graphs())
+def test_msbfs_outgoing_direction_matches_numpy(spark, g):
+    """Directed (OUTGOING) MSBFS distance sums vs numpy BFS on digraphs.
+
+    Note the semantics: dist_sum at node v accumulates over SOURCES that
+    reach v (column orientation of the bitset frontier)."""
+    from linkgraph.algorithms.msbfs import msbfs_distance_sums
+
+    n, edges = g
+    if not edges:
+        return
+    gr = Graph.from_edges(edges_df(spark, edges))
+    got = {r["id"]: (r["reachable"], r["dist_sum"])
+           for r in msbfs_distance_sums(gr, direction="OUTGOING").collect()}
+    ids = sorted({a for a, b, _ in edges} | {b for a, b, _ in edges})
+    idx = {v: i for i, v in enumerate(ids)}
+    m = len(ids)
+    adj = [[] for _ in range(m)]
+    for a, b, _ in edges:
+        adj[idx[a]].append(idx[b])
+    import collections
+    # forward BFS from every source; accumulate at the TARGET node
+    reach = [0] * m
+    dsum = [0.0] * m
+    for s in range(m):
+        dist = [-1] * m
+        dist[s] = 0
+        dq = collections.deque([s])
+        while dq:
+            u = dq.popleft()
+            for w_ in adj[u]:
+                if dist[w_] < 0:
+                    dist[w_] = dist[u] + 1
+                    dq.append(w_)
+        for t in range(m):
+            if dist[t] > 0:
+                reach[t] += 1
+                dsum[t] += dist[t]
+    for v in ids:
+        assert got[v] == (reach[idx[v]], dsum[idx[v]]), v
