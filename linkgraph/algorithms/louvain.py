@@ -35,11 +35,16 @@ from linkgraph.algorithms.blocks import DRIVER_EDGE_THRESHOLD  # shared crossove
 
 
 # ------------------------------------------------------------- numpy kernel
-def _np_move_phase(src, dst, w, comm, k, m2: float, rounds: int):
+def _np_move_phase(src, dst, w, comm, k, m2: float, rounds: int, parity_ids=None):
     """Synchronous best-gain moves, parity-alternated — identical rule to
     the distributed `_move_phase`. Node/community labels are dense [0, n).
+    ``parity_ids`` maps dense index → ORIGINAL node id so the alternation
+    matches the distributed kernel's ``pmod(id, 2)`` even when original ids
+    are non-contiguous (falls back to dense-index parity when omitted).
     Returns the updated comm array."""
     n = len(k)
+    if parity_ids is None:
+        parity_ids = np.arange(n, dtype=np.int64)
     nonself = src != dst
     s, d, ww = src[nonself], dst[nonself], w[nonself]
     stable = 0
@@ -57,7 +62,7 @@ def _np_move_phase(src, dst, w, comm, k, m2: float, rounds: int):
         stay = own[pi] - k[pi] * (ktot[comm[pi]] - k[pi]) / m2
         gain = (w_in - k[pi] * ktot[pc] / m2) - stay
         cand = np.flatnonzero(
-            (pc != comm[pi]) & (gain > 1e-12) & (pi % 2 == rnd % 2)
+            (pc != comm[pi]) & (gain > 1e-12) & (parity_ids[pi] % 2 == rnd % 2)
         )
         if cand.size == 0:
             stable += 1
@@ -83,14 +88,23 @@ def _np_modularity(src, dst, w, comm, k, m2: float) -> float:
 
 
 def _np_louvain(src, dst, w, n: int, m2: float, max_levels: int,
-                move_rounds: int, init_comm=None):
+                move_rounds: int, init_comm=None, node_ids=None):
     """Multilevel numpy Louvain over a both-direction edge list with dense
-    node labels [0, n). Returns (mapping original-node→community label in
-    original label space, levels list, final modularity)."""
+    node labels [0, n). ``node_ids`` (dense index → original id) keeps the
+    parity alternation aligned with the distributed kernel's
+    ``pmod(original_id, 2)`` across every level — a super-node's original
+    id is the id of the community label it was contracted from.
+    Returns (mapping original-node→community label in original label
+    space, levels list, final modularity)."""
     k0 = np.bincount(src, weights=w, minlength=n)
     mapping = np.arange(n, dtype=np.int64)  # original node -> current comm
     cs, cd, cw = src, dst, w  # current-level (coarsened) edges
     cur_n = n
+    pids = (
+        np.asarray(node_ids, dtype=np.int64)
+        if node_ids is not None
+        else np.arange(n, dtype=np.int64)
+    )
     levels = []
     prev_q = _np_modularity(src, dst, w, mapping, k0, m2)
     for _ in range(max_levels):
@@ -99,7 +113,7 @@ def _np_louvain(src, dst, w, n: int, m2: float, max_levels: int,
         else:
             comm = np.arange(cur_n, dtype=np.int64)
         kk = np.bincount(cs, weights=cw, minlength=cur_n)
-        comm = _np_move_phase(cs, cd, cw, comm, kk, m2, move_rounds)
+        comm = _np_move_phase(cs, cd, cw, comm, kk, m2, move_rounds, parity_ids=pids)
         mapping = comm[mapping]
         q = _np_modularity(src, dst, w, mapping, k0, m2)
         levels.append(mapping.copy())
@@ -110,6 +124,7 @@ def _np_louvain(src, dst, w, n: int, m2: float, max_levels: int,
         uniq, dense = np.unique(mapping, return_inverse=True)
         mapping = dense.astype(np.int64)
         cur_n = len(uniq)
+        pids = pids[uniq]  # super-node's original id = its label's id
         key = mapping[src] * cur_n + mapping[dst]
         uk, inv = np.unique(key, return_inverse=True)
         cw = np.bincount(inv, weights=w)
@@ -294,7 +309,8 @@ def louvain(
             _, init = np.unique(raw, return_inverse=True)
             init = init.astype(np.int64)
         mapping, lv_np, q = _np_louvain(
-            src, dst, w, n, m2, max_levels, move_rounds, init_comm=init
+            src, dst, w, n, m2, max_levels, move_rounds, init_comm=init,
+            node_ids=ids,
         )
         import pandas as pd
 
@@ -329,23 +345,54 @@ def louvain(
         comm = nodes.select("id", F.col("id").alias("comm"))
     comm = comm.localCheckpoint(eager=True)
 
+    def _contract(edges_df: DataFrame, mapping_df: DataFrame) -> DataFrame:
+        lbl_s = mapping_df.select(F.col("id").alias("src"), F.col("comm").alias("cs"))
+        lbl_d = mapping_df.select(F.col("id").alias("dst"), F.col("comm").alias("cd"))
+        return (
+            edges_df.join(lbl_s, "src")
+            .join(lbl_d, "dst")
+            .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+            .agg(F.sum("weight").alias("weight"))
+            .localCheckpoint(eager=True)
+        )
+
     mapping = _move_phase(und, comm, m2, move_rounds)
     levels = [mapping]
     q1 = modularity(und, mapping, m2)
-    # coarsen: contract communities into super-nodes
-    lbl_s = mapping.select(F.col("id").alias("src"), F.col("comm").alias("cs"))
-    lbl_d = mapping.select(F.col("id").alias("dst"), F.col("comm").alias("cd"))
-    coarse = (
-        und.join(lbl_s, "src")
-        .join(lbl_d, "dst")
-        .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
-        .agg(F.sum("weight").alias("weight"))
-        .localCheckpoint(eager=True)
-    )
-    if max_levels > 1:
+    coarse = _contract(und, mapping)
+    # If level 1 barely contracted (oscillation, exhausted move_rounds,
+    # near-singleton communities), the coarsened table can still exceed
+    # driver_threshold — collecting it could OOM the driver. Keep running
+    # DISTRIBUTED move+contract levels until it fits (or levels run out).
+    levels_left = max_levels - 1
+    while levels_left > 0 and coarse.count() > driver_threshold:
+        snodes = (
+            coarse.select(F.col("src").alias("id"))
+            .unionByName(coarse.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        ccomm = snodes.select("id", F.col("id").alias("comm")).localCheckpoint(eager=True)
+        cres = _move_phase(coarse, ccomm, m2, move_rounds)
+        super_lbl = cres.select(F.col("id").alias("comm"), F.col("comm").alias("final"))
+        new_mapping = (
+            mapping.join(super_lbl, "comm", "left")
+            .select("id", F.coalesce("final", "comm").alias("comm"))
+            .localCheckpoint(eager=True)
+        )
+        new_q = modularity(und, new_mapping, m2)
+        levels_left -= 1
+        if new_q <= q1 + 1e-9:
+            # no modularity gain at this level: we're done — return the
+            # current (distributed) assignment without ever collecting
+            return _result(mapping, q1, levels if include_intermediate else [])
+        mapping, q1 = new_mapping, new_q
+        levels.append(mapping)
+        coarse = _contract(coarse, cres)
+    if levels_left > 0:
         csrc, cdst, cw, cids = _collect_edges(coarse)
         cn = len(cids)
-        cmap, _, q = _np_louvain(csrc, cdst, cw, cn, m2, max_levels - 1, move_rounds)
+        cmap, _, q = _np_louvain(csrc, cdst, cw, cn, m2, levels_left, move_rounds,
+                                 node_ids=cids)
         import pandas as pd
 
         super_pdf = pd.DataFrame({"comm": cids, "final": cids[cmap]})

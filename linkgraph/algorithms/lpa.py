@@ -51,7 +51,7 @@ def label_propagation(
         labels = nodes.select("id", F.col("id").alias("label"))
     start_step = 0
     if checkpoint is not None:
-        latest = checkpoint.latest()
+        latest = checkpoint.latest(fmt="lpa/labels-v1")
         if latest is not None:
             start_step, labels, _meta = latest
     labels = labels.localCheckpoint(eager=True)
@@ -89,7 +89,8 @@ def label_propagation(
             changed = 1
         if checkpoint is not None and checkpoint_every and (step + 1) % checkpoint_every == 0:
             new_labels = checkpoint.write(
-                new_labels, step + 1, {"iteration": step + 1, "changed": changed}
+                new_labels, step + 1, {"iteration": step + 1, "changed": changed},
+                fmt="lpa/labels-v1",
             )
         labels.unpersist()
         labels = new_labels

@@ -286,6 +286,15 @@ def weighted_all_shortest_paths(
     from linkgraph.algorithms import blocks
     from linkgraph.algorithms.betweenness import _ensure_store
 
+    # Dijkstra's correctness contract — one cheap aggregate, fail loudly
+    # instead of silently returning wrong distances on a negative weight.
+    min_w = graph.edges.agg(F.min("weight")).first()[0]
+    if min_w is not None and min_w < 0:
+        raise ValueError(
+            f"weighted_all_shortest_paths requires non-negative weights; "
+            f"found min(weight) = {min_w}"
+        )
+
     path, n_arr = _ensure_store(graph, direction, store_path)
 
     def run(batches):

@@ -169,7 +169,7 @@ class PageRank:
         p = t.copy()
         start_step = 0
         if self.checkpoint is not None:
-            latest = self.checkpoint.latest()
+            latest = self.checkpoint.latest(fmt="pagerank/ranks-v1")
             if latest is not None:
                 start_step, ck_df, _ = latest
                 ck_pd = ck_df.toPandas()
@@ -193,7 +193,7 @@ class PageRank:
                 ck_df = spark.createDataFrame(
                     pd.DataFrame({"id": np.arange(n), "rank": p})
                 )
-                self.checkpoint.write(ck_df, step, {"delta": delta, "iteration": step})
+                self.checkpoint.write(ck_df, step, {"delta": delta, "iteration": step}, fmt="pagerank/ranks-v1")
             self.metrics.superstep_millis.append(int((time.time() - it0) * 1000))
             if self.tolerance is not None and delta < self.tolerance:
                 converged = True
@@ -251,7 +251,7 @@ class PageRank:
 
         ranks = nodes.select("id", F.col("t").alias("rank"))
         if self.checkpoint is not None:
-            latest = self.checkpoint.latest()
+            latest = self.checkpoint.latest(fmt="pagerank/ranks-v1")
             if latest is not None:
                 start_step, ranks, m = latest
                 self.metrics.resumed_from = start_step
@@ -293,7 +293,8 @@ class PageRank:
                 self.checkpoint_every and step % self.checkpoint_every == 0
             ):
                 new_ranks = self.checkpoint.write(
-                    new_ranks, step, {"delta": delta, "iteration": step}
+                    new_ranks, step, {"delta": delta, "iteration": step},
+                    fmt="pagerank/ranks-v1",
                 )
             ranks.unpersist()
             ranks = new_ranks

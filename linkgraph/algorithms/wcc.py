@@ -85,7 +85,7 @@ def wcc(
 
     start = 0
     if checkpoint is not None:
-        latest = checkpoint.latest()
+        latest = checkpoint.latest(fmt="wcc/edges-v2")
         if latest is not None:
             start, e, _ = latest
     e = e.localCheckpoint(eager=True)
@@ -98,7 +98,7 @@ def wcc(
         e = _star(e, large=False).localCheckpoint(eager=True)
         fp = _fingerprint(e)
         if checkpoint is not None and checkpoint_every and step % checkpoint_every == 0:
-            e = checkpoint.write(e, step, {"iteration": step})
+            e = checkpoint.write(e, step, {"iteration": step}, fmt="wcc/edges-v2")
         if fp == prev_fp:
             break
         prev_fp = fp

@@ -76,20 +76,27 @@ class Graph:
 
         if direction == INCOMING:
             e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
-        elif direction == BOTH:
-            # deterministic dedup: reciprocal edges (a,b,w1)/(b,a,w2) must
-            # resolve to the same weight on both directions — max, not an
-            # arbitrary surviving row (dropDuplicates is partition-order
-            # dependent)
-            e = (
-                e.unionByName(
-                    e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
-                )
-                .groupBy("src", "dst")
-                .agg(F.max("weight").alias("weight"))
-            )
 
-        if duplicate_relationships != "none":
+        if direction == BOTH:
+            rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+            if duplicate_relationships != "none":
+                # The explicit strategy governs ALL parallel relationships —
+                # including the reciprocal copies symmetrization introduces.
+                # One agg over the union equals "strategy on parallels, then
+                # strategy across reciprocals" (sum/min/max are associative).
+                agg = _DEDUP_AGGS[duplicate_relationships]
+                e = e.unionByName(rev).groupBy("src", "dst").agg(agg().alias("weight"))
+            else:
+                # No strategy: reciprocal edges (a,b,w1)/(b,a,w2) must still
+                # resolve to the same weight on both directions — max as the
+                # deterministic tie-break, not an arbitrary surviving row
+                # (dropDuplicates is partition-order dependent).
+                e = (
+                    e.unionByName(rev)
+                    .groupBy("src", "dst")
+                    .agg(F.max("weight").alias("weight"))
+                )
+        elif duplicate_relationships != "none":
             agg = _DEDUP_AGGS[duplicate_relationships]
             e = e.groupBy("src", "dst").agg(agg().alias("weight"))
 

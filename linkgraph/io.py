@@ -51,8 +51,18 @@ class CheckpointManager:
         self.manifest_path = os.path.join(directory, "manifest.jsonl")
 
     # ------------------------------------------------------------------ write
-    def write(self, df: DataFrame, step: int, metrics: dict | None = None) -> DataFrame:
-        """Persist state at ``step``; returns the re-read (lineage-truncated) DF."""
+    def write(
+        self,
+        df: DataFrame,
+        step: int,
+        metrics: dict | None = None,
+        fmt: str | None = None,
+    ) -> DataFrame:
+        """Persist state at ``step``; returns the re-read (lineage-truncated) DF.
+
+        ``fmt`` tags the manifest line with the state-payload format (e.g.
+        ``"wcc/edges-v2"``) so a resume under a DIFFERENT payload layout
+        fails loudly instead of silently misinterpreting rows."""
         path = os.path.join(self.dir, f"step={step}")
         df.write.mode("overwrite").parquet(path)
         reread = self.spark.read.parquet(path)
@@ -74,6 +84,8 @@ class CheckpointManager:
             "partitions": part_stats,
             "metrics": metrics or {},
         }
+        if fmt is not None:
+            line["format"] = fmt
         with open(self.manifest_path, "a") as f:
             f.write(json.dumps(line) + "\n")
         return reread
@@ -93,11 +105,20 @@ class CheckpointManager:
                     out.append(rec)
         return out
 
-    def latest(self) -> tuple[int, DataFrame, dict] | None:
+    def latest(self, fmt: str | None = None) -> tuple[int, DataFrame, dict] | None:
+        """Most recent committed state. When ``fmt`` is given, refuse a
+        checkpoint whose manifest format tag is missing or different —
+        resuming under a changed payload layout would silently corrupt."""
         entries = self.entries()
         if not entries:
             return None
         rec = max(entries, key=lambda r: r["step"])
+        if fmt is not None and rec.get("format") != fmt:
+            raise ValueError(
+                f"checkpoint at {rec['path']} has format "
+                f"{rec.get('format')!r}, expected {fmt!r} — refusing to "
+                "resume from an incompatible state layout"
+            )
         return rec["step"], self.spark.read.parquet(rec["path"]), rec.get("metrics", {})
 
 
