@@ -178,6 +178,38 @@ def ivf_assign(
     )
 
 
+def ivf_assign_multi(
+    df: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding, cell) with up to ``nprobe`` rows per vector — its
+    nearest cells by centroid cosine. Query-side multi-probing: a vector
+    near a Voronoi boundary also searches the adjacent cells, recovering
+    the recall that nprobe=1 loses at cell edges."""
+    cent = centroids.astype(np.float64)
+    p = int(min(nprobe, len(cent)))
+
+    @pandas_udf("array<int>")
+    def probe_udf(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = x @ cent.T
+        # top-p cells, best first (argpartition then sort — C·n, not C·log C·n)
+        idx = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+        order = np.take_along_axis(-sims, idx, axis=1).argsort(axis=1)
+        top = np.take_along_axis(idx, order, axis=1).astype(np.int32)
+        return pd.Series(list(top))
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(probe_udf(F.col(vec_col))).alias("cell"),
+    )
+
+
 def cosine_topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -185,9 +217,15 @@ def cosine_topk_ivf(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF approximate top-k: equi-join on cell id, exact cosine within cell."""
-    qa = ivf_assign(queries, centroids, id_col, vec_col).select(
+    """IVF approximate top-k: equi-join on cell id, exact cosine within cell.
+
+    Only the QUERY side multi-probes (``nprobe`` nearest cells); every
+    corpus vector lives in exactly one cell, so a (query, corpus) pair can
+    never be produced twice and no dedup shuffle is needed. Scan cost is
+    nprobe/num_cells of the corpus per query instead of all of it."""
+    qa = ivf_assign_multi(queries, centroids, nprobe, id_col, vec_col).select(
         F.col("id").alias("a"), F.col("v").alias("va"), "cell"
     )
     cb = ivf_assign(corpus, centroids, id_col, vec_col).select(
@@ -258,45 +296,45 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
-    """(id, codes array<int>) — per-subspace nearest-centroid codes,
-    Arrow-vectorized; M bytes of state per vector at bits≤8."""
+    """(id, codes array<int>[, cell]) — per-subspace nearest-centroid codes,
+    Arrow-vectorized; M bytes of state per vector at bits≤8. Passing IVF
+    ``centroids`` also emits the coarse cell in the SAME Arrow pass, so an
+    IVF∘PQ index (cell for pruning + codes for ADC re-rank) is one scan."""
     books = codebooks.astype(np.float64)
     n_sub, _, sub = books.shape
+    cent = centroids.astype(np.float64) if centroids is not None else None
 
-    @pandas_udf("array<int>")
-    def encode(vecs: pd.Series) -> pd.Series:
+    @pandas_udf("struct<codes:array<int>, cell:int>")
+    def encode(vecs: pd.Series) -> pd.DataFrame:
         x = np.array(vecs.tolist(), dtype=np.float64)
         codes = np.empty((x.shape[0], n_sub), dtype=np.int32)
         for m in range(n_sub):
             xs = x[:, m * sub : (m + 1) * sub]
             d2 = ((xs[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
             codes[:, m] = d2.argmin(axis=1).astype(np.int32)
-        return pd.Series(list(codes))
+        if cent is None:
+            cells = np.zeros(x.shape[0], dtype=np.int32)
+        else:
+            nx = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            cells = (nx @ cent.T).argmax(axis=1).astype(np.int32)
+        return pd.DataFrame({"codes": list(codes), "cell": cells})
 
-    return df.select(F.col(id_col).alias("id"), encode(F.col(vec_col)).alias("codes"))
+    out = df.select(F.col(id_col).alias("id"), encode(F.col(vec_col)).alias("s"))
+    cols = ["id", F.col("s.codes").alias("codes")]
+    if cent is not None:
+        cols.append(F.col("s.cell").alias("cell"))
+    return out.select(*cols)
 
 
-def pq_topk(
-    queries: DataFrame,
-    corpus_codes: DataFrame,
-    codebooks: np.ndarray,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Asymmetric-distance top-k: per query build the M×2^bits lookup table
-    (exact query-to-centroid distances), then every corpus vector scores as
-    M table lookups over its codes — no decode, no cross-join of raw
-    vectors. → (a, b, adc) smaller adc = closer (squared L2)."""
+def _adc_topk(pairs: DataFrame, codebooks: np.ndarray, k: int) -> DataFrame:
+    """Shared ADC scorer: pairs(a, qv, b, codes) → per-query top-k by
+    asymmetric distance. Per Arrow batch one M×2^bits LUT per distinct
+    query (exact query-to-centroid distances); every corpus vector scores
+    as M table lookups over its codes — no decode, no raw-vector math."""
     books = codebooks.astype(np.float64)
     n_sub, k_cent, sub = books.shape
-
-    q = queries.select(F.col(id_col).alias("a"), F.col(vec_col).alias("qv"))
-    c = corpus_codes.select(F.col("id").alias("b"), "codes")
-    # scored via LUT inside Arrow, never raw-vector math; self-pairs
-    # excluded BEFORE ranking so every query gets k real neighbors
-    pairs = q.crossJoin(c).filter(F.col("a") != F.col("b"))
 
     @pandas_udf("double")
     def adc(qvs: pd.Series, codes: pd.Series) -> pd.Series:
@@ -326,3 +364,55 @@ def pq_topk(
         .filter(F.col("_rn") <= k)
         .select("a", "b", "adc")
     )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exhaustive ADC top-k → (a, b, adc); smaller adc = closer (squared L2).
+
+    This is the LINEAR-scan baseline (every query scores every corpus
+    code). It is the exact-ADC reference for recall tests; at corpus scale
+    use :func:`pq_topk_ivf`, which prunes candidates to the query's nprobe
+    nearest IVF cells before the same ADC re-rank."""
+    q = queries.select(F.col(id_col).alias("a"), F.col(vec_col).alias("qv"))
+    c = corpus_codes.select(F.col("id").alias("b"), "codes")
+    # self-pairs excluded BEFORE ranking so every query gets k real neighbors
+    pairs = q.crossJoin(c).filter(F.col("a") != F.col("b"))
+    return _adc_topk(pairs, codebooks, k)
+
+
+def pq_topk_ivf(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    codebooks: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF∘PQ top-k: coarse-cell pruning composed in front of ADC re-rank.
+
+    ``corpus_codes`` must carry a ``cell`` column (``pq_encode(...,
+    centroids=...)``). Each query probes its ``nprobe`` nearest cells
+    (query-side only — corpus vectors live in exactly one cell, so no pair
+    duplicates) and ADC-scores only those cells' codes: the scan drops from
+    the whole corpus to ~nprobe/num_cells of it, which is what survives a
+    10⁹-vector corpus. Jégou et al. TPAMI'11 §IV (IVFADC)."""
+    if "cell" not in corpus_codes.columns:
+        raise ValueError(
+            "corpus_codes has no 'cell' column — encode with "
+            "pq_encode(..., centroids=centroids) to build an IVF∘PQ index"
+        )
+    qa = ivf_assign_multi(queries, centroids, nprobe, id_col, vec_col).select(
+        F.col("id").alias("a"), F.col("v").alias("qv"), "cell"
+    )
+    c = corpus_codes.select(F.col("id").alias("b"), "codes", "cell")
+    pairs = qa.join(c, "cell").filter(F.col("a") != F.col("b"))
+    return _adc_topk(pairs, codebooks, k)

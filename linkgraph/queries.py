@@ -1000,11 +1000,13 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cosine top-k with query-side multi-probing (nprobe=2): queries
+    near Voronoi boundaries also search the adjacent cell."""
     from linkgraph.pipeline.ann import cosine_topk_ivf, train_ivf_centroids
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cent = train_ivf_centroids(emb, num_cells=8)
-    return cosine_topk_ivf(emb.filter(F.col("vec_id") < 100), emb, cent, k=5)
+    return cosine_topk_ivf(emb.filter(F.col("vec_id") < 100), emb, cent, k=5, nprobe=2)
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1985,16 +1987,23 @@ SELECT a, b, cosine FROM (
 
 
 def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN: train codebooks, encode the corpus,
-    asymmetric-distance top-3 for the first 20 query vectors (rows-only:
-    PQ codes depend on seeded k-means, not SQL-reproducible)."""
-    from linkgraph.pipeline.ann import pq_encode, pq_topk, pq_train
+    """IVF∘PQ ANN: coarse-cell pruning (nprobe=2 of 8 cells) in front of
+    the asymmetric-distance re-rank — the 10⁹-vector shape, not a linear
+    ADC scan. Top-3 for the first 20 query vectors (rows-only: PQ codes
+    depend on seeded k-means, not SQL-reproducible)."""
+    from linkgraph.pipeline.ann import (
+        pq_encode,
+        pq_topk_ivf,
+        pq_train,
+        train_ivf_centroids,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = train_ivf_centroids(emb, num_cells=8)
     books = pq_train(emb, num_subspaces=8, bits=6, iters=4)
-    codes = pq_encode(emb, books)
+    codes = pq_encode(emb, books, centroids=cent)
     qs = emb.filter(F.col("vec_id") < 20)
-    return pq_topk(qs, codes, books, k=3)
+    return pq_topk_ivf(qs, codes, books, cent, k=3, nprobe=2)
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -218,6 +218,93 @@ def test_ann_ivf_recall(spark):
     assert recall >= 0.9
 
 
+def test_ann_ivf_nprobe_recovers_boundary_recall(spark):
+    """Vectors near Voronoi boundaries lose neighbors at nprobe=1; probing
+    more cells must recover them — recall is monotone in nprobe and ≥0.95
+    by nprobe=3 on deliberately overlapping clusters."""
+    from linkgraph.pipeline.ann import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(7)
+    # heavily OVERLAPPING clusters → many cross-cell nearest neighbors
+    centers = rng.normal(size=(4, 8))
+    mat = np.vstack([c + rng.normal(size=(40, 8)) * 1.5 for c in centers])
+    emb = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(160)], "vec_id long, embedding array<double>"
+    )
+    cent = train_ivf_centroids(emb, num_cells=4, max_sample=1000)
+    q = emb.filter(F.col("vec_id") < 30)
+    exact = {(r["a"], r["b"]) for r in cosine_topk_bruteforce(q, emb, k=3).collect()}
+
+    def recall(nprobe):
+        approx = {
+            (r["a"], r["b"])
+            for r in cosine_topk_ivf(q, emb, cent, k=3, nprobe=nprobe).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    r1, r2, r3 = recall(1), recall(2), recall(3)
+    assert r1 <= r2 <= r3
+    assert r3 >= 0.95
+    assert r3 > r1  # the boundary effect is real on this data
+
+
+def test_pq_ivf_composition(spark):
+    """IVF∘PQ: cell pruning in front of ADC re-rank. Full probe
+    (nprobe=num_cells) must equal the exhaustive ADC scan exactly, and
+    nprobe=2 must keep high recall against it at a fraction of the scan."""
+    from linkgraph.pipeline.ann import (
+        pq_encode,
+        pq_topk,
+        pq_topk_ivf,
+        pq_train,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.normal(size=(4, 8)) * 4
+    mat = np.vstack([c + rng.normal(size=(30, 8)) * 0.4 for c in centers])
+    emb = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(120)], "vec_id long, embedding array<double>"
+    )
+    cent = train_ivf_centroids(emb, num_cells=4, max_sample=1000)
+    books = pq_train(emb, num_subspaces=4, bits=4, iters=6)
+    coded = pq_encode(emb, books, centroids=cent)
+    assert set(coded.columns) == {"id", "codes", "cell"}
+    qs = emb.filter(F.col("vec_id") < 20)
+
+    exhaustive = {(r["a"], r["b"]) for r in pq_topk(qs, coded, books, k=3).collect()}
+    full_probe = {
+        (r["a"], r["b"])
+        for r in pq_topk_ivf(qs, coded, books, cent, k=3, nprobe=4).collect()
+    }
+    assert full_probe == exhaustive  # nprobe=C ≡ linear ADC scan
+
+    pruned = {
+        (r["a"], r["b"])
+        for r in pq_topk_ivf(qs, coded, books, cent, k=3, nprobe=2).collect()
+    }
+    assert len(exhaustive & pruned) / len(exhaustive) >= 0.9
+
+
+def test_pq_topk_ivf_requires_cell_column(spark):
+    from linkgraph.pipeline.ann import pq_encode, pq_topk_ivf, pq_train, train_ivf_centroids
+
+    rng = np.random.RandomState(5)
+    mat = rng.normal(size=(40, 8))
+    emb = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(40)], "vec_id long, embedding array<double>"
+    )
+    cent = train_ivf_centroids(emb, num_cells=2, max_sample=100)
+    books = pq_train(emb, num_subspaces=4, bits=3, iters=3)
+    plain = pq_encode(emb, books)  # no centroids → no cell column
+    with pytest.raises(ValueError, match="cell"):
+        pq_topk_ivf(emb.limit(5), plain, books, cent)
+
+
 def test_multimodal_plumbing(spark):
     from linkgraph.pipeline.multimodal import extract_features, frame_sample, synthesize_media
 
