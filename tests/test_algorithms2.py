@@ -177,6 +177,51 @@ def test_node2vec_walks_run(spark):
     rows = random_walks(g, steps=4, mode="node2vec", return_param=2.0,
                         in_out_param=0.5, seed=3).collect()
     assert len(rows) == 5
+    und = {(s, d) for s, d, _ in PATH5} | {(d, s) for s, d, _ in PATH5}
+    for r in rows:
+        for a, b in zip(r["path"], r["path"][1:]):
+            assert (a, b) in und
+
+
+def test_node2vec_return_bias(spark):
+    """Tiny return_param (1/p huge) must make walks backtrack almost
+    always: on a path graph nearly every step after the first returns to
+    prev. Statistical check over many walks."""
+    g = _g(spark, PATH5, ids=range(5), direction="BOTH")
+    rows = random_walks(g, steps=8, walks_per_node=20, mode="node2vec",
+                        return_param=0.001, in_out_param=1.0, seed=5).collect()
+    backtracks = total = 0
+    for r in rows:
+        p = r["path"]
+        for i in range(2, len(p)):
+            total += 1
+            backtracks += p[i] == p[i - 2]
+    assert total > 100
+    assert backtracks / total > 0.95
+
+
+def test_node2vec_inout_bias(spark):
+    """Tiny in_out_param (1/q huge) on a hub-and-spoke plus triangle: from
+    the triangle, walks should prefer jumping OUTWARD (to nodes not
+    adjacent to prev) over staying in the triangle."""
+    # triangle 0-1-2, plus distant spokes 3,4 hanging off node 1
+    tri = [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0), (1, 3, 1.0), (1, 4, 1.0)]
+    g = _g(spark, tri, ids=range(5), direction="BOTH")
+    rows = random_walks(g, steps=6, walks_per_node=30, mode="node2vec",
+                        return_param=1000.0, in_out_param=0.001, seed=9,
+                        start_nodes=[0]).collect()
+    # walking 0→1, the out-nodes {3,4} (not adjacent to 0) should dominate
+    # over the in-node {2} (adjacent to 0) and the return {0}
+    out_moves = in_moves = 0
+    for r in rows:
+        p = r["path"]
+        for i in range(2, len(p)):
+            if p[i - 1] == 1 and p[i - 2] == 0:
+                if p[i] in (3, 4):
+                    out_moves += 1
+                elif p[i] == 2:
+                    in_moves += 1
+    assert out_moves > in_moves
 
 
 def test_catalog(spark):
