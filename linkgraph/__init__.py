@@ -16,8 +16,12 @@ engine, this is a shuffle-based Spark engine).
 
 from linkgraph.graph import Graph
 from linkgraph.loader import GraphLoader, subgraph
+from linkgraph.results import run_write_proc
 from linkgraph.session import get_spark
 
 __version__ = "0.1.0"
 
-__all__ = ["Graph", "GraphLoader", "subgraph", "get_spark", "__version__"]
+__all__ = [
+    "Graph", "GraphLoader", "subgraph", "get_spark", "run_write_proc",
+    "__version__",
+]

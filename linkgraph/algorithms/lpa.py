@@ -59,6 +59,7 @@ def label_propagation(
     w_expr = F.sum("weight") if weighted else F.count(F.lit(1)).cast("double")
     win = Window.partitionBy("dst").orderBy(F.desc("w"), F.asc("label"))
 
+    iterations, converged = start_step, False
     for step in range(start_step, max_iterations):
         votes = (
             edges.join(labels, edges.src == labels.id)
@@ -94,8 +95,12 @@ def label_propagation(
             )
         labels.unpersist()
         labels = new_labels
-        if run_to_convergence and changed == 0:
+        iterations = step + 1
+        converged = run_to_convergence and changed == 0
+        if converged:
             break
 
     edges.unpersist()
+    labels.iterations = iterations
+    labels.did_converge = converged
     return labels

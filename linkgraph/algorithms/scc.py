@@ -35,6 +35,7 @@ def scc(graph: Graph, max_rounds: int = 10_000) -> DataFrame:
     active = graph.nodes.select("id").localCheckpoint(eager=True)
     result = spark.createDataFrame([], "id long, component long")
     rounds = 0
+    converged = False
     while rounds < max_rounds:
         rounds += 1
         # trim trivial SCCs to a FIXPOINT: repeatedly peel nodes with no
@@ -55,6 +56,7 @@ def scc(graph: Graph, max_rounds: int = 10_000) -> DataFrame:
             ).localCheckpoint(eager=True)
             active = nontrivial.localCheckpoint(eager=True)
         if active.isEmpty():
+            converged = True
             break
         # --- color: forward max-id propagation to fixpoint over the active
         # subgraph (every node ends with the max id that can reach it)
@@ -115,9 +117,12 @@ def scc(graph: Graph, max_rounds: int = 10_000) -> DataFrame:
         )
         ae.unpersist()
         if active.isEmpty():
+            converged = True
             break
     edges.unpersist()
     redges.unpersist()
+    result.iterations = rounds
+    result.did_converge = converged
     return result
 
 

@@ -92,6 +92,7 @@ def wcc(
     prev_fp = _fingerprint(e)
 
     step = start
+    converged = False
     while step < max_iterations:
         step += 1
         e = _star(e, large=True).localCheckpoint(eager=True)
@@ -100,6 +101,7 @@ def wcc(
         if checkpoint is not None and checkpoint_every and step % checkpoint_every == 0:
             e = checkpoint.write(e, step, {"iteration": step}, fmt="wcc/edges-v2")
         if fp == prev_fp:
+            converged = True
             break
         prev_fp = fp
 
@@ -112,6 +114,8 @@ def wcc(
         .select("id", F.coalesce("component", F.col("id")).alias("component"))
     )
     nodes.unpersist()
+    out.iterations = step
+    out.did_converge = converged
     return out
 
 

@@ -1,0 +1,124 @@
+"""Write-mode stats rows — the reference's per-proc result records.
+
+Every write-mode procedure in the reference returns a single stats row
+(`algo/.../results/{PageRankScore.Stats,UnionFindResult,LouvainResult,
+SCCResult,CentralityProcResult,...}.java`) with `loadMillis /
+computeMillis / writeMillis`, node counts, and algorithm-specific fields
+(setCount, iterations, didConverge, modularity, min/max centrality...).
+
+``run_write_proc`` is the shared Spark analogue: time graph
+materialization (load), the algorithm (compute), and the optional parquet
+write-back (write), and return the one-row stats DataFrame. Algorithm
+extras are read from attributes the implementations attach to their
+result (``iterations`` / ``did_converge`` / ``final_modularity``) plus
+one aggregate over the result DataFrame.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+from linkgraph.graph import Graph
+from linkgraph.io import write_table
+
+
+def _component_extras(result: DataFrame, col: str = "component") -> dict:
+    row = (
+        result.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(
+            F.count(F.lit(1)).alias("setCount"),
+            F.min("sz").alias("minSetSize"),
+            F.max("sz").alias("maxSetSize"),
+        )
+        .first()
+    )
+    return {
+        "setCount": int(row["setCount"]),
+        "minSetSize": int(row["minSetSize"]),
+        "maxSetSize": int(row["maxSetSize"]),
+    }
+
+
+def _centrality_extras(result: DataFrame, col: str) -> dict:
+    row = result.agg(
+        F.min(col).alias("mn"), F.max(col).alias("mx"), F.sum(col).alias("sm")
+    ).first()
+    return {
+        "minCentrality": float(row["mn"]),
+        "maxCentrality": float(row["mx"]),
+        "sumCentrality": float(row["sm"]),
+    }
+
+
+# algo key → (callable path on the result, extras fn)
+_EXTRAS = {
+    "unionFind": lambda r: _component_extras(r, "component"),
+    "scc": lambda r: _component_extras(r, "component"),
+    "labelPropagation": lambda r: _component_extras(r, "label"),
+    "louvain": lambda r: _component_extras(r, "community"),
+    "betweenness": lambda r: _centrality_extras(r, "centrality"),
+    "pageRank": lambda r: _centrality_extras(r, "rank"),
+}
+
+
+def run_write_proc(
+    algo: str,
+    graph: Graph,
+    compute,
+    write_path: str | None = None,
+    write_property: str | None = None,
+) -> DataFrame:
+    """Run ``compute(graph) -> DataFrame`` in write mode and return the
+    reference-style single stats row.
+
+    loadMillis times graph materialization (node/edge counts — the Spark
+    analogue of the reference's projection load), computeMillis times the
+    algorithm INCLUDING result materialization, writeMillis the parquet
+    write-back (0 when ``write_path`` is None, = stream mode).
+    """
+    spark = graph.nodes.sparkSession
+
+    t0 = time.time()
+    nodes = graph.num_nodes()
+    rels = graph.num_edges()
+    load_millis = int((time.time() - t0) * 1000)
+
+    t0 = time.time()
+    result = compute(graph)
+    result = result.persist()
+    result.count()  # materialize under the compute timer
+    compute_millis = int((time.time() - t0) * 1000)
+
+    t0 = time.time()
+    if write_path is not None:
+        write_table(result, write_path)
+    write_millis = int((time.time() - t0) * 1000)
+
+    row = {
+        "loadMillis": load_millis,
+        "computeMillis": compute_millis,
+        "writeMillis": write_millis,
+        "nodes": nodes,
+        "relationships": rels,
+        "iterations": int(getattr(result, "iterations", 0) or 0),
+        "didConverge": bool(getattr(result, "did_converge", False)),
+        "writeProperty": write_property or "",
+    }
+    modularity = getattr(result, "final_modularity", None)
+    if modularity is not None:
+        row["modularity"] = float(modularity)
+    extras_fn = _EXTRAS.get(algo)
+    if extras_fn is not None:
+        row.update(extras_fn(result))
+    result.unpersist()
+    # stable column order: canonical prefix, then sorted extras
+    prefix = [
+        "loadMillis", "computeMillis", "writeMillis", "nodes",
+        "relationships", "iterations", "didConverge", "writeProperty",
+    ]
+    ordered = {k: row[k] for k in prefix}
+    ordered.update({k: row[k] for k in sorted(row) if k not in prefix})
+    return spark.createDataFrame([tuple(ordered.values())], list(ordered.keys()))

@@ -1,0 +1,108 @@
+"""Write-mode stats rows: one golden per major proc (r2 VERDICT task 6).
+
+Reference: `algo/.../results/*` — every write proc returns
+loadMillis/computeMillis/writeMillis/nodes/iterations/didConverge (+
+algorithm-specific aggregates).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.graph import Graph
+from linkgraph.results import run_write_proc
+from tests.conftest import edges_df
+
+PREFIX = [
+    "loadMillis", "computeMillis", "writeMillis", "nodes",
+    "relationships", "iterations", "didConverge", "writeProperty",
+]
+
+# two triangles joined by a bridge + an isolated-ish tail
+EDGES = [
+    (0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0),
+    (3, 4, 1.0), (4, 5, 1.0), (5, 3, 1.0),
+    (2, 3, 1.0), (5, 6, 1.0),
+]
+
+
+def _graph(spark, direction="OUTGOING"):
+    return Graph.from_edges(edges_df(spark, EDGES), direction=direction)
+
+
+def _row(df):
+    assert df.count() == 1
+    r = df.first().asDict()
+    for c in PREFIX:
+        assert c in r, f"missing canonical stats column {c}"
+    assert r["loadMillis"] >= 0 and r["computeMillis"] >= 0
+    return r
+
+
+def test_wcc_stats_row(spark, tmp_path):
+    from linkgraph.algorithms.wcc import wcc
+
+    g = _graph(spark)
+    out = str(tmp_path / "wcc")
+    r = _row(run_write_proc("unionFind", g, lambda g_: wcc(g_), write_path=out,
+                            write_property="partition"))
+    assert r["nodes"] == 7 and r["relationships"] == 8
+    assert r["setCount"] == 1  # everything connects (undirected semantics)
+    assert r["minSetSize"] == 7 and r["maxSetSize"] == 7
+    assert r["didConverge"] is True and r["iterations"] >= 1
+    assert r["writeMillis"] > 0 and r["writeProperty"] == "partition"
+    # the write-back actually landed
+    assert spark.read.parquet(out).count() == 7
+
+
+def test_lpa_stats_row(spark):
+    from linkgraph.algorithms.lpa import label_propagation
+
+    g = _graph(spark, direction="BOTH")
+    r = _row(
+        run_write_proc(
+            "labelPropagation",
+            g,
+            lambda g_: label_propagation(g_, max_iterations=20, run_to_convergence=True),
+        )
+    )
+    assert r["didConverge"] is True
+    assert r["iterations"] >= 1
+    assert r["setCount"] >= 1
+    assert r["writeMillis"] == 0  # stream mode
+
+
+def test_scc_stats_row(spark):
+    from linkgraph.algorithms.scc import scc
+
+    g = _graph(spark)
+    r = _row(run_write_proc("scc", g, scc))
+    # two 3-cycles are SCCs; bridge nodes 6 is trivial
+    assert r["setCount"] == 3
+    assert r["maxSetSize"] == 3 and r["minSetSize"] == 1
+    assert r["didConverge"] is True
+
+
+def test_louvain_stats_row(spark):
+    from linkgraph.algorithms.louvain import louvain
+
+    g = _graph(spark)
+    r = _row(run_write_proc("louvain", g, lambda g_: louvain(g_, max_levels=3)))
+    assert r["setCount"] >= 2
+    assert "modularity" in r and 0.0 < r["modularity"] <= 1.0
+
+
+def test_betweenness_stats_row(spark, tmp_path):
+    from linkgraph.algorithms.betweenness import betweenness_centrality
+
+    g = _graph(spark, direction="BOTH")
+    r = _row(
+        run_write_proc(
+            "betweenness",
+            g,
+            lambda g_: betweenness_centrality(
+                g_, store_path=str(tmp_path / "store")
+            ),
+        )
+    )
+    assert r["maxCentrality"] >= r["minCentrality"] >= 0.0
+    assert r["sumCentrality"] > 0.0
