@@ -30,13 +30,19 @@ def _pairwise(
     top: int | None,
     item_col: str,
     vector_col: str,
-    max_broadcast_items: int = 1_000_000,
+    max_broadcast_bytes: int = 2 << 30,
 ) -> DataFrame:
+    # Guard on the broadcast's actual SIZE (rows × dim × 8 bytes), not row
+    # count alone — 200k rows of 2048-dim float64 is already ~3.3 GB.
     n_items = items.count()
-    if n_items > max_broadcast_items:
+    first = items.select(vector_col).first()
+    dim = len(first[vector_col]) if first is not None else 0
+    est_bytes = n_items * max(dim, 1) * 8
+    if est_bytes > max_broadcast_bytes:
         raise ValueError(
             f"dense vector-similarity broadcasts the whole item matrix "
-            f"({n_items} rows > {max_broadcast_items}); use "
+            f"({n_items} rows × {dim} dims ≈ {est_bytes / (1 << 30):.1f} GiB "
+            f"> {max_broadcast_bytes / (1 << 30):.1f} GiB); use "
             f"cosine_sparse/pearson_sparse/euclidean_sparse (inverted-index, "
             f"no collect) or LSH-bucket first (pipeline.dedup/ann)"
         )
@@ -105,21 +111,21 @@ def _pairwise(
 
 def cosine(items: DataFrame, item_col: str = "item", vector_col: str = "weights",
            top_k: int | None = None, similarity_cutoff: float | None = None,
-           top: int | None = None, max_broadcast_items: int = 1_000_000) -> DataFrame:
-    return _pairwise(items, "cosine", top_k, similarity_cutoff, top, item_col, vector_col, max_broadcast_items)
+           top: int | None = None, max_broadcast_bytes: int = 2 << 30) -> DataFrame:
+    return _pairwise(items, "cosine", top_k, similarity_cutoff, top, item_col, vector_col, max_broadcast_bytes)
 
 
 def pearson(items: DataFrame, item_col: str = "item", vector_col: str = "weights",
             top_k: int | None = None, similarity_cutoff: float | None = None,
-            top: int | None = None, max_broadcast_items: int = 1_000_000) -> DataFrame:
-    return _pairwise(items, "pearson", top_k, similarity_cutoff, top, item_col, vector_col, max_broadcast_items)
+            top: int | None = None, max_broadcast_bytes: int = 2 << 30) -> DataFrame:
+    return _pairwise(items, "pearson", top_k, similarity_cutoff, top, item_col, vector_col, max_broadcast_bytes)
 
 
 def euclidean(items: DataFrame, item_col: str = "item", vector_col: str = "weights",
               top_k: int | None = None, similarity_cutoff: float | None = None,
-              top: int | None = None, max_broadcast_items: int = 1_000_000) -> DataFrame:
+              top: int | None = None, max_broadcast_bytes: int = 2 << 30) -> DataFrame:
     """Euclidean DISTANCE pairs (smaller = more similar), as in the reference."""
-    return _pairwise(items, "euclidean", top_k, similarity_cutoff, top, item_col, vector_col, max_broadcast_items)
+    return _pairwise(items, "euclidean", top_k, similarity_cutoff, top, item_col, vector_col, max_broadcast_bytes)
 
 
 # ---------------------------------------------------------------- sparse path

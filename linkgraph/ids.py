@@ -29,6 +29,9 @@ def densify_ids(df: DataFrame, key_col: str, num_partitions: int | None = None) 
     """
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    # Arrow schemas below are derived from the ACTUAL key type (string,
+    # long, ...) — hardcoding string here silently corrupted long keys.
+    key_ddl = df.schema[key_col].dataType.simpleString()
     keys = (
         df.select(F.col(key_col).alias("_key"))
         .distinct()
@@ -45,7 +48,7 @@ def densify_ids(df: DataFrame, key_col: str, num_partitions: int | None = None) 
             pdf["_part"] = pid
             yield pdf
 
-    keyed = keys.mapInPandas(with_part, schema="_key string, _part int").persist()
+    keyed = keys.mapInPandas(with_part, schema=f"_key {key_ddl}, _part int").persist()
     counts = keyed.groupBy("_part").agg(F.count(F.lit(1)).alias("_cnt"))
     w = Window.orderBy("_part").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
@@ -64,5 +67,5 @@ def densify_ids(df: DataFrame, key_col: str, num_partitions: int | None = None) 
             seen += len(pdf)
             yield out
 
-    result = keyed.mapInPandas(enumerate_part, schema="id long, _key string")
+    result = keyed.mapInPandas(enumerate_part, schema=f"id long, _key {key_ddl}")
     return result.select("id", F.col("_key").alias(key_col))

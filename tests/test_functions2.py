@@ -147,7 +147,26 @@ def test_dense_pairwise_guard(spark):
         F.col("id").alias("item"), F.array(F.lit(1.0), F.lit(2.0)).alias("weights")
     )
     with pytest.raises(ValueError, match="sparse"):
-        cosine(items, max_broadcast_items=5)
+        cosine(items, max_broadcast_bytes=5)
+
+
+def test_dense_pairwise_guard_is_dim_aware(spark):
+    """Same row count, different dims: the bytes estimate (rows × dim × 8)
+    must trip on the wide matrix and pass the narrow one."""
+    from linkgraph.algorithms.vector_similarity import cosine
+
+    cap = 10_000  # bytes
+    wide = spark.range(100).select(
+        F.col("id").alias("item"),
+        F.array(*[F.lit(float(i)) for i in range(64)]).alias("weights"),
+    )  # 100×64×8 = 51_200 bytes > cap
+    with pytest.raises(ValueError, match="dims"):
+        cosine(wide, max_broadcast_bytes=cap)
+    narrow = spark.range(100).select(
+        F.col("id").alias("item"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("weights"),
+    )  # 100×2×8 = 1_600 bytes < cap
+    assert cosine(narrow, top_k=1, max_broadcast_bytes=cap).count() == 100
 
 
 def test_memrec_estimate(spark):

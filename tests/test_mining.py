@@ -65,6 +65,19 @@ def test_densify_contiguous(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
+def test_densify_long_keys(spark):
+    """The Arrow schema is derived from the key column's real type — long
+    keys must round-trip exactly (previously hardcoded to string)."""
+    big = 10_000_000_000  # > int32, catches silent narrowing
+    df = spark.createDataFrame(
+        [(big + i * 7,) for i in [5, 3, 9, 100, 42]], "name long"
+    )
+    out = densify_ids(df, "name", num_partitions=3).collect()
+    assert sorted(r["id"] for r in out) == [0, 1, 2, 3, 4]
+    assert {r["name"] for r in out} == {big + i * 7 for i in [5, 3, 9, 100, 42]}
+    assert all(isinstance(r["name"], int) for r in out)
+
+
 def test_file_dependency_graph(spark):
     """File-level edges: every mined import resolves to the target repo's
     defining file; node ids are dense; PageRank runs on the file graph."""
