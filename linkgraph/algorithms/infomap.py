@@ -6,11 +6,18 @@ single-threaded greedy optimizer over PageRank visit rates.
 
 Spark split: the flow distribution (PageRank visit rates) is computed with
 the DISTRIBUTED PageRank engine — that's the part that touches every edge
-at full scale. The greedy module optimization runs on the driver over the
-collected (edge, rate) arrays, exactly like the reference's single-threaded
-optimizer; a size guard raises above ``driver_threshold`` edges (coarsen
-with Louvain/LPA first, or sample — the reference has the same practical
-bound, it just OOMs instead of raising).
+at full scale. The greedy module optimization runs on the driver:
+
+* below ``driver_threshold`` edges — directly over the collected
+  (edge, rate) arrays, exactly like the reference's single-threaded
+  optimizer;
+* above it — the graph is first COARSENED with a distributed Louvain
+  level (communities → super-nodes, per-edge stationary flow and visit
+  rates aggregated per community with DataFrame ops), and the greedy map-
+  equation sweep runs over the contracted graph. The per-node
+  ``Σ plogp(p_i)`` codelength term is assignment-independent and is
+  computed distributed. This lifts the practical ceiling from
+  driver-collectable edges to driver-collectable COMMUNITIES.
 
 Map equation (natural-log variant, two-level, no teleport recording):
 
@@ -40,70 +47,17 @@ def _plogp(x):
     return out
 
 
-def _codelength(q_mod, p_mod, p_node):
-    q = q_mod.sum()
-    return (
-        _plogp(np.array([q]))[0]
-        - 2.0 * _plogp(q_mod).sum()
-        - _plogp(p_node).sum()
-        + _plogp(q_mod + p_mod).sum()
-    )
+def _greedy_modules(p, src, dst, flow, n, max_sweeps):
+    """Greedy two-level map-equation optimizer over a flow graph.
 
-
-def infomap(
-    graph: Graph,
-    pr_iterations: int = 30,
-    max_sweeps: int = 20,
-    damping: float = 0.85,
-    weighted: bool = True,
-    driver_threshold: int = DRIVER_EDGE_THRESHOLD,
-) -> DataFrame:
-    """→ (id, community) [+ .codelength]. Deterministic greedy sweeps in
-    ascending node-id order (the reference shuffles; we don't, for
-    reproducibility), modules labeled by min member id."""
-    from linkgraph.algorithms.pagerank import PageRank
-
-    n_edges = graph.edges.count()
-    if n_edges > driver_threshold:
-        raise ValueError(
-            f"infomap greedy phase is driver-side (as in the reference); "
-            f"{n_edges} edges > {driver_threshold}. Coarsen first (louvain/"
-            f"lpa) or raise driver_threshold explicitly."
-        )
-    # flow: distributed PageRank visit rates, normalized to Σp = 1
-    # (pull/CSC fast path when ids are contiguous — zero shuffle/superstep)
-    from linkgraph.algorithms.pagerank import _contiguous_n
-
-    strat = "pull" if _contiguous_n(graph.nodes.select("id")) else "csr"
-    ranks = PageRank(
-        damping=damping,
-        max_iterations=pr_iterations,
-        # pull: early stop once visit rates stabilize — the delta check is
-        # a driver-side numpy max, zero extra Spark jobs. csr: skip it (a
-        # per-iteration delta join would cost more than it saves).
-        tolerance=1e-10 if strat == "pull" else None,
-        weighted=weighted,
-        strategy=strat,
-    ).run(graph)
-    rpdf = ranks.select("id", "rank").toPandas()
-    epdf = graph.edges.filter(F.col("src") != F.col("dst")).select(
-        "src", "dst", "weight"
-    ).toPandas()
-
-    ids = rpdf["id"].to_numpy(np.int64)
-    order = np.argsort(ids)
-    ids = ids[order]
-    p = rpdf["rank"].to_numpy(np.float64)[order]
-    p = p / p.sum()
-    n = len(ids)
-    src = np.searchsorted(ids, epdf["src"].to_numpy(np.int64))
-    dst = np.searchsorted(ids, epdf["dst"].to_numpy(np.int64))
-    w = epdf["weight"].to_numpy(np.float64)
-    wsum = np.bincount(src, weights=w, minlength=n)
-    t = w / np.maximum(wsum[src], 1e-300)  # transition prob of each edge
-    flow = p[src] * t                      # stationary flow on each edge
-
-    # adjacency (out- and in-) as index lists for per-node module flows
+    p: visit rate per (dense 0..n-1) node; (src, dst, flow): directed
+    stationary flow per edge, self-loops EXCLUDED (intra-node flow never
+    exits a module). Deterministic ascending-index sweeps (the reference
+    shuffles; we don't, for reproducibility).
+    Returns (module labels dense, q_mod, p_mod) at the local optimum.
+    Note: the per-node −Σ plogp(p_i) codelength term is constant w.r.t.
+    the assignment, so it never enters the move gains.
+    """
     out_order = np.argsort(src, kind="stable")
     out_ptr = np.concatenate(([0], np.cumsum(np.bincount(src, minlength=n))))
     out_idx = out_order
@@ -185,17 +139,164 @@ def infomap(
                 moved += 1
         if moved == 0:
             break
+    return module, q_mod, p_mod
 
-    # canonical labels: min member ORIGINAL id per module
-    rep = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
-    np.minimum.at(rep, module, ids)
-    labels = rep[module]
+
+def _final_codelength(module, q_mod, p_mod, plogp_nodes_sum: float) -> float:
     used = np.unique(module)
-    code = _codelength(q_mod[used], p_mod[used], p)
-    spark = graph.nodes.sparkSession
-    import pandas as pd
+    q = q_mod[used].sum()
+    return (
+        _plogp(np.array([q]))[0]
+        - 2.0 * _plogp(q_mod[used]).sum()
+        - plogp_nodes_sum
+        + _plogp(q_mod[used] + p_mod[used]).sum()
+    )
 
-    out = spark.createDataFrame(pd.DataFrame({"id": ids, "community": labels}))
+
+def infomap(
+    graph: Graph,
+    pr_iterations: int = 30,
+    max_sweeps: int = 20,
+    damping: float = 0.85,
+    weighted: bool = True,
+    driver_threshold: int = DRIVER_EDGE_THRESHOLD,
+) -> DataFrame:
+    """→ (id, community) [+ .codelength]. Deterministic greedy sweeps in
+    ascending node-id order, modules labeled by min member id. Graphs
+    whose edge table exceeds ``driver_threshold`` are Louvain-coarsened
+    distributed first; the sweep then runs over communities."""
+    from linkgraph.algorithms.pagerank import PageRank, _contiguous_n
+
+    n_edges = graph.edges.count()
+    # flow: distributed PageRank visit rates, normalized to Σp = 1
+    # (pull/CSC fast path when ids are contiguous — zero shuffle/superstep)
+    strat = "pull" if _contiguous_n(graph.nodes.select("id")) else "csr"
+    ranks = PageRank(
+        damping=damping,
+        max_iterations=pr_iterations,
+        # pull: early stop once visit rates stabilize — the delta check is
+        # a driver-side numpy max, zero extra Spark jobs. csr: skip it (a
+        # per-iteration delta join would cost more than it saves).
+        tolerance=1e-10 if strat == "pull" else None,
+        weighted=weighted,
+        strategy=strat,
+    ).run(graph)
+    spark = graph.nodes.sparkSession
+
+    if n_edges <= driver_threshold:
+        # ---- direct driver path (reference-faithful)
+        rpdf = ranks.select("id", "rank").toPandas()
+        epdf = graph.edges.filter(F.col("src") != F.col("dst")).select(
+            "src", "dst", "weight"
+        ).toPandas()
+
+        ids = rpdf["id"].to_numpy(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        p = rpdf["rank"].to_numpy(np.float64)[order]
+        p = p / p.sum()
+        n = len(ids)
+        src = np.searchsorted(ids, epdf["src"].to_numpy(np.int64))
+        dst = np.searchsorted(ids, epdf["dst"].to_numpy(np.int64))
+        w = epdf["weight"].to_numpy(np.float64)
+        wsum = np.bincount(src, weights=w, minlength=n)
+        t = w / np.maximum(wsum[src], 1e-300)  # transition prob of each edge
+        flow = p[src] * t                      # stationary flow on each edge
+
+        module, q_mod, p_mod = _greedy_modules(p, src, dst, flow, n, max_sweeps)
+
+        # canonical labels: min member ORIGINAL id per module
+        rep = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(rep, module, ids)
+        labels = rep[module]
+        code = _final_codelength(module, q_mod, p_mod, _plogp(p).sum())
+        import pandas as pd
+
+        out = spark.createDataFrame(pd.DataFrame({"id": ids, "community": labels}))
+    else:
+        # ---- Louvain-coarsened path: everything per-edge stays distributed
+        from linkgraph.algorithms.louvain import louvain
+
+        total = ranks.agg(F.sum("rank")).first()[0] or 1.0
+        p_df = ranks.select("id", (F.col("rank") / F.lit(float(total))).alias("p"))
+        e = graph.edges.filter(F.col("src") != F.col("dst"))
+        wsum_df = e.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("ws"))
+        flow_df = (
+            e.join(p_df.withColumnRenamed("id", "src"), "src")
+            .join(wsum_df.withColumnRenamed("id", "src"), "src")
+            .select(
+                "src",
+                "dst",
+                (F.col("p") * F.col("weight") / F.col("ws")).alias("flow"),
+            )
+        )
+        comm = louvain(graph, max_levels=1, driver_threshold=driver_threshold)
+        lbl_s = comm.select(F.col("id").alias("src"), F.col("community").alias("cs"))
+        lbl_d = comm.select(F.col("id").alias("dst"), F.col("community").alias("cd"))
+        super_edges = (
+            flow_df.join(lbl_s, "src")
+            .join(lbl_d, "dst")
+            .filter(F.col("cs") != F.col("cd"))  # intra-community flow never exits
+            .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+            .agg(F.sum("flow").alias("flow"))
+        )
+        super_p = (
+            p_df.join(comm, "id")
+            .groupBy(F.col("community").alias("sid"))
+            .agg(F.sum("p").alias("p"))
+        )
+        n_super = super_p.count()
+        n_super_edges = super_edges.count()
+        # the contracted graph must fit REAL driver capacity (not the
+        # caller's possibly-artificial crossover threshold)
+        cap = max(driver_threshold, DRIVER_EDGE_THRESHOLD)
+        if max(n_super, n_super_edges) > cap:
+            raise ValueError(
+                f"infomap: Louvain coarsening left {n_super} communities / "
+                f"{n_super_edges} super-edges > driver capacity ({cap}) — "
+                f"coarsen further (more louvain levels) or raise "
+                f"driver_threshold explicitly."
+            )
+        spdf = super_p.toPandas()
+        sepdf = super_edges.toPandas()
+        sids = np.sort(spdf["sid"].to_numpy(np.int64))
+        p_sup = np.zeros(len(sids))
+        p_sup[np.searchsorted(sids, spdf["sid"].to_numpy(np.int64))] = (
+            spdf["p"].to_numpy(np.float64)
+        )
+        ssrc = np.searchsorted(sids, sepdf["src"].to_numpy(np.int64))
+        sdst = np.searchsorted(sids, sepdf["dst"].to_numpy(np.int64))
+        sflow = sepdf["flow"].to_numpy(np.float64)
+
+        module, q_mod, p_mod = _greedy_modules(
+            p_sup, ssrc, sdst, sflow, len(sids), max_sweeps
+        )
+        # per-node codelength term, computed distributed (assignment-free)
+        plogp_nodes = (
+            p_df.agg(F.sum(F.col("p") * F.log("p"))).first()[0] or 0.0
+        )
+        code = _final_codelength(module, q_mod, p_mod, float(plogp_nodes))
+        # map back: node → community (super-node) → module, labeled by the
+        # min ORIGINAL node id in the module (min community label suffices:
+        # community labels are already min-member node ids)
+        rep = np.full(len(sids), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(rep, module, sids)
+        import pandas as pd
+
+        super_lbl = spark.createDataFrame(
+            pd.DataFrame({"community": sids, "module": rep[module]})
+        )
+        out = comm.join(super_lbl, "community", "left").select(
+            "id", F.coalesce("module", "community").alias("community")
+        )
+        # canonicalize: distributed-Louvain community labels are adopted
+        # neighbor labels, not min-member ids — relabel by min member so
+        # both paths emit identical labels
+        canon = out.groupBy("community").agg(F.min("id").alias("_m"))
+        out = out.join(canon, "community").select(
+            "id", F.col("_m").alias("community")
+        )
+
     # isolated nodes keep their own id
     out = (
         graph.nodes.select("id")

@@ -140,6 +140,29 @@ def test_infomap_two_communities(spark):
     assert res.codelength > 0
 
 
+def test_infomap_coarsened_parity(spark):
+    """driver_threshold=0 forces the Louvain-coarsened distributed path;
+    on clearly separable communities it must agree with the direct driver
+    optimizer — same partition, codelength equal to ~1e-9."""
+    from linkgraph.algorithms.infomap import infomap
+
+    edges = [
+        (0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0),
+        (3, 4, 1.0), (4, 5, 1.0), (3, 5, 1.0),
+        (6, 7, 1.0), (7, 8, 1.0), (6, 8, 1.0),
+        (2, 3, 0.1), (5, 6, 0.1),
+    ]
+    und = edges + [(b, a, w) for a, b, w in edges]
+    g = Graph.from_edges(edges_df(spark, und),
+                         nodes=spark.createDataFrame([(i,) for i in range(9)], "id long"))
+    direct = infomap(g)
+    got_d = {r["id"]: r["community"] for r in direct.collect()}
+    coarse = infomap(g, driver_threshold=0)
+    got_c = {r["id"]: r["community"] for r in coarse.collect()}
+    assert got_d == got_c
+    assert abs(direct.codelength - coarse.codelength) < 1e-9
+
+
 def test_dense_pairwise_guard(spark):
     from linkgraph.algorithms.vector_similarity import cosine
 
