@@ -116,6 +116,17 @@ def memrec(graph, algo: str = "pagerank", num_executors: int = 1) -> dict:
     }
 
 
+_WRITE_MODE = {
+    # procs whose `write: true` config returns the reference-style stats
+    # row (algo/.../results/*) instead of the stream DataFrame
+    "algo.unionFind": "unionFind",
+    "algo.scc": "scc",
+    "algo.labelPropagation": "labelPropagation",
+    "algo.louvain": "louvain",
+    "algo.betweenness": "betweenness",
+}
+
+
 def call(name: str, *args, **kwargs):
     """`CALL algo.<name>(...)` — string-dispatch to the implementation.
 
@@ -123,7 +134,11 @@ def call(name: str, *args, **kwargs):
     class-method step like GraphCatalog.load), imports it, and invokes it
     with the given arguments. Class paths are instantiated with no args
     first; functions/classes are called directly. Raises KeyError for an
-    unknown procedure (use list_procs()/help_proc() to discover)."""
+    unknown procedure (use list_procs()/help_proc() to discover).
+
+    Reference write-mode parity: `write=True` (+ optional `writePath` /
+    `writeProperty`) on a supported proc runs it through
+    `results.run_write_proc` and returns the single stats row."""
     import importlib
 
     if name not in _REGISTRY:
@@ -134,6 +149,25 @@ def call(name: str, *args, **kwargs):
     for noop in ("concurrency", "readConcurrency", "writeConcurrency",
                  "batchSize", "graph"):
         kwargs.pop(noop, None)
+    write = bool(kwargs.pop("write", False))
+    write_path = kwargs.pop("writePath", None)
+    write_property = kwargs.pop("writeProperty", None)
+    if write:
+        if name not in _WRITE_MODE or not args:
+            raise ValueError(
+                f"write mode not supported for {name!r} "
+                f"(supported: {sorted(_WRITE_MODE)})"
+            )
+        from linkgraph.results import run_write_proc
+
+        graph, rest = args[0], args[1:]
+        return run_write_proc(
+            _WRITE_MODE[name],
+            graph,
+            lambda g: call(name, g, *rest, **kwargs),
+            write_path=write_path,
+            write_property=write_property,
+        )
     impl, _desc = _REGISTRY[name]
     parts = impl.split(".")
     # longest importable module prefix, then walk attributes

@@ -91,6 +91,22 @@ def test_louvain_stats_row(spark):
     assert "modularity" in r and 0.0 < r["modularity"] <= 1.0
 
 
+def test_procs_call_write_mode(spark, tmp_path):
+    """CALL algo.unionFind(g, write: true, writeProperty: 'partition')
+    returns the stats row, like the reference's write procs."""
+    from linkgraph import procs
+
+    g = _graph(spark)
+    out = str(tmp_path / "wcc_out")
+    r = _row(procs.call("algo.unionFind", g, write=True, writePath=out,
+                        writeProperty="partition"))
+    assert r["setCount"] == 1 and r["writeProperty"] == "partition"
+    assert spark.read.parquet(out).count() == 7
+    # unsupported proc refuses clearly
+    with pytest.raises(ValueError, match="write mode"):
+        procs.call("algo.bfs.stream", g, 0, write=True)
+
+
 def test_betweenness_stats_row(spark, tmp_path):
     from linkgraph.algorithms.betweenness import betweenness_centrality
 
