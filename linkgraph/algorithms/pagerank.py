@@ -213,6 +213,8 @@ class PageRank:
             t0 = time.time()
             out = self._run_pull(graph)
             self.metrics.compute_millis = int((time.time() - t0) * 1000)
+            out.iterations = self.metrics.iterations
+            out.did_converge = self.metrics.did_converge
             return out
         t0 = time.time()
         d = self.damping
@@ -313,6 +315,8 @@ class PageRank:
         if denom is not None:
             denom.unpersist()
         nodes.unpersist()
+        ranks.iterations = self.metrics.iterations
+        ranks.did_converge = self.metrics.did_converge
         return ranks
 
 

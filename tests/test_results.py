@@ -91,6 +91,22 @@ def test_louvain_stats_row(spark):
     assert "modularity" in r and 0.0 < r["modularity"] <= 1.0
 
 
+def test_pagerank_stats_row(spark):
+    from linkgraph.algorithms.pagerank import PageRank
+
+    g = _graph(spark)
+    r = _row(
+        run_write_proc(
+            "pageRank",
+            g,
+            lambda g_: PageRank(tolerance=1e-3, max_iterations=100,
+                                strategy="join").run(g_),
+        )
+    )
+    assert r["didConverge"] is True and r["iterations"] >= 1
+    assert r["sumCentrality"] > 0 and r["maxCentrality"] >= r["minCentrality"]
+
+
 def test_procs_call_write_mode(spark, tmp_path):
     """CALL algo.unionFind(g, write: true, writeProperty: 'partition')
     returns the stats row, like the reference's write procs."""
