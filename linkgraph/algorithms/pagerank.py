@@ -58,7 +58,7 @@ class PageRank:
         tolerance: float | None = None,
         weighted: bool = False,
         source_nodes: list[int] | None = None,
-        strategy: str = "csr",
+        strategy: str = "auto",
         num_blocks: int | None = None,
         salt: int = 0,
         checkpoint: CheckpointManager | None = None,
@@ -207,8 +207,21 @@ class PageRank:
             shutil.rmtree(block_path, ignore_errors=True)
         return spark.createDataFrame(pd.DataFrame({"id": np.arange(n), "rank": p}))
 
+    # maximum rank-vector length the pull strategy will broadcast (8 B/node
+    # → ~800 MB at the default); beyond it the push/CSR shuffle path wins
+    PULL_MAX_NODES = 100_000_000
+
     # -------------------------------------------------------------------- run
     def run(self, graph: Graph) -> DataFrame:
+        if self.strategy == "auto":
+            # strategy resolution (once per run): pull = CSC blocks + one
+            # broadcast rank vector, ZERO shuffle per superstep — the fast
+            # path whenever ids are contiguous and the vector fits memory;
+            # csr = push scatter + groupBy(dst).sum gather beyond that.
+            n = _contiguous_n(graph.nodes.select("id"))
+            self.strategy = (
+                "pull" if n is not None and n <= self.PULL_MAX_NODES else "csr"
+            )
         if self.strategy == "pull":
             t0 = time.time()
             out = self._run_pull(graph)

@@ -44,6 +44,28 @@ def test_pagerank_fixed_iterations(spark, strategy):
         assert got[i] == pytest.approx(golden[i], abs=1e-9)
 
 
+def test_pagerank_auto_strategy(spark):
+    """auto resolves to pull on contiguous ids, csr otherwise; values match
+    the numpy oracle either way."""
+    golden = np_pagerank([(s, d, 1.0) for s, d in G_PR], N, iters=30)
+    got, pr = _run(spark, "auto", max_iterations=30)
+    assert pr.strategy == "pull"  # contiguous 0..N-1 ids
+    for i in range(N):
+        assert got[i] == pytest.approx(golden[i], abs=1e-9)
+    # shift ids → non-contiguous → csr
+    from linkgraph.graph import Graph
+    from tests.conftest import edges_df
+
+    shifted = Graph.from_edges(
+        edges_df(spark, [(s + 1000, d + 1000, 1.0) for s, d in G_PR])
+    )
+    pr2 = PageRank(strategy="auto", max_iterations=30)
+    got2 = {r["id"]: r["rank"] for r in pr2.run(shifted).collect()}
+    assert pr2.strategy == "csr"
+    for i in range(N):
+        assert got2[i + 1000] == pytest.approx(golden[i], abs=1e-9)
+
+
 def test_pagerank_convergence_1e6(spark):
     # north-star correctness: allclose 1e-6 at convergence
     golden = np_pagerank([(s, d, 1.0) for s, d in G_PR], N, tol=1e-12)

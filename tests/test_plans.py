@@ -52,6 +52,41 @@ def test_loader_label_filter_pushes_down(spark, tmp_path):
     assert "rel_type" in p and "cites" in p  # type filter at the edge scan
 
 
+def test_pq_ivf_plan_has_no_cartesian_product(spark):
+    """pq_topk_ivf must candidate-generate via an equi-join on cell —
+    never the full-corpus cartesian scan that plain pq_topk (the exact-ADC
+    baseline) deliberately performs."""
+    import numpy as np
+
+    from linkgraph.pipeline.ann import (
+        pq_encode,
+        pq_topk,
+        pq_topk_ivf,
+        pq_train,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(2)
+    mat = rng.normal(size=(60, 8))
+    emb = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(60)], "vec_id long, embedding array<double>"
+    )
+    cent = train_ivf_centroids(emb, num_cells=4, max_sample=100)
+    books = pq_train(emb, num_subspaces=4, bits=3, iters=2)
+    coded = pq_encode(emb, books, centroids=cent)
+    qs = emb.limit(5)
+
+    pruned_plan = _plan(pq_topk_ivf(qs, coded, books, cent, k=2))
+    assert "CartesianProduct" not in pruned_plan
+    assert "cell" in pruned_plan  # the equi-join key survives to the plan
+
+    baseline_plan = _plan(pq_topk(qs, coded, books, k=2))
+    assert (
+        "CartesianProduct" in baseline_plan
+        or "BroadcastNestedLoopJoin" in baseline_plan
+    )  # the exhaustive baseline really is a full scan
+
+
 def test_pagerank_join_strategy_salted_gather(spark):
     """The pure-DataFrame strategy must keep its two-stage (salted) gather:
     more than one Exchange between scan and result."""
