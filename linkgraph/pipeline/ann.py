@@ -210,6 +210,46 @@ def ivf_assign_multi(
     )
 
 
+def ivf_cell_means(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Per-cell RAW-vector means → (C, dim) residual anchors.
+
+    `train_ivf_centroids` returns UNIT-NORM directions (cosine geometry);
+    subtracting those from vectors at data scale leaves the residual ≈ the
+    vector itself. Residual PQ (IVFADC) needs anchors at data scale — the
+    cell's mean — computed here with one distributed groupBy (the
+    reduction is C × dim floats regardless of corpus size)."""
+    cent = centroids.astype(np.float64)
+    dim = cent.shape[1]
+
+    @pandas_udf("struct<cell:int, v:array<double>>")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        nx = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.DataFrame(
+            {"cell": (nx @ cent.T).argmax(axis=1).astype(np.int32), "v": list(x)}
+        )
+
+    agg = (
+        corpus.select(assign(F.col(vec_col)).alias("s"))
+        .select(F.col("s.cell").alias("cell"), F.col("s.v").alias("v"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array(*[F.sum(F.element_at("v", i + 1)) for i in range(dim)]).alias("vsum"),
+        )
+        .collect()
+    )
+    anchors = cent.copy()  # empty cells fall back to the unit direction
+    for row in agg:
+        if row["n"]:
+            anchors[row["cell"]] = np.array(row["vsum"]) / row["n"]
+    return anchors
+
+
 def cosine_topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -252,13 +292,19 @@ def pq_train(
     max_sample: int = 100_000,
     iters: int = 8,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
+    residual: bool = False,
+    anchors: np.ndarray | None = None,
 ) -> np.ndarray:
     """Product-quantization codebooks → (M, 2^bits, dim/M) array.
 
     Jégou et al. TPAMI'11: split the vector into M subspaces, k-means each
     independently over a BOUNDED hash-spread sample. At 100 TB the codes
     (M bytes/vector vs 4·dim) are what make exhaustive re-ranking and
-    memory-resident candidate scans feasible."""
+    memory-resident candidate scans feasible. ``residual=True`` (with IVF
+    ``centroids`` for assignment and data-scale ``anchors`` — see
+    :func:`ivf_cell_means`) trains on x − anchor[cell] residuals — IVFADC
+    proper."""
     k = 1 << bits
     pool = np.array(
         corpus.select(F.col(vec_col).alias("v"))
@@ -268,6 +314,16 @@ def pq_train(
         .tolist(),
         dtype=np.float64,
     )
+    if residual:
+        if centroids is None or anchors is None:
+            raise ValueError(
+                "residual training requires IVF centroids (assignment) and "
+                "anchors (ivf_cell_means — data-scale subtraction points)"
+            )
+        cent = centroids.astype(np.float64)
+        anc = anchors.astype(np.float64)
+        nx = pool / np.maximum(np.linalg.norm(pool, axis=1, keepdims=True), 1e-12)
+        pool = pool - anc[(nx @ cent.T).argmax(axis=1)]
     n, dim = pool.shape
     if dim % num_subspaces:
         raise ValueError(f"dim {dim} not divisible by M={num_subspaces}")
@@ -297,28 +353,41 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    residual: bool = False,
+    anchors: np.ndarray | None = None,
 ) -> DataFrame:
     """(id, codes array<int>[, cell]) — per-subspace nearest-centroid codes,
     Arrow-vectorized; M bytes of state per vector at bits≤8. Passing IVF
     ``centroids`` also emits the coarse cell in the SAME Arrow pass, so an
-    IVF∘PQ index (cell for pruning + codes for ADC re-rank) is one scan."""
+    IVF∘PQ index (cell for pruning + codes for ADC re-rank) is one scan.
+
+    ``residual=True`` (requires centroids + data-scale ``anchors``,
+    :func:`ivf_cell_means`) quantizes the RESIDUAL x − anchor[cell]
+    instead of x — Jégou IVFADC proper: residual energy is far smaller
+    than vector energy, so the same code budget carries much finer
+    detail. Use codebooks trained with ``pq_train(..., residual=True)``
+    and search with ``pq_topk_ivf(..., residual=True, anchors=...)``."""
     books = codebooks.astype(np.float64)
     n_sub, _, sub = books.shape
     cent = centroids.astype(np.float64) if centroids is not None else None
+    if residual and (cent is None or anchors is None):
+        raise ValueError("residual encoding requires IVF centroids and anchors")
+    anc = anchors.astype(np.float64) if anchors is not None else None
 
     @pandas_udf("struct<codes:array<int>, cell:int>")
     def encode(vecs: pd.Series) -> pd.DataFrame:
         x = np.array(vecs.tolist(), dtype=np.float64)
-        codes = np.empty((x.shape[0], n_sub), dtype=np.int32)
-        for m in range(n_sub):
-            xs = x[:, m * sub : (m + 1) * sub]
-            d2 = ((xs[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
-            codes[:, m] = d2.argmin(axis=1).astype(np.int32)
         if cent is None:
             cells = np.zeros(x.shape[0], dtype=np.int32)
         else:
             nx = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
             cells = (nx @ cent.T).argmax(axis=1).astype(np.int32)
+        target = x - anc[cells] if residual else x
+        codes = np.empty((x.shape[0], n_sub), dtype=np.int32)
+        for m in range(n_sub):
+            xs = target[:, m * sub : (m + 1) * sub]
+            d2 = ((xs[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = d2.argmin(axis=1).astype(np.int32)
         return pd.DataFrame({"codes": list(codes), "cell": cells})
 
     out = df.select(F.col(id_col).alias("id"), encode(F.col(vec_col)).alias("s"))
@@ -328,35 +397,50 @@ def pq_encode(
     return out.select(*cols)
 
 
-def _adc_topk(pairs: DataFrame, codebooks: np.ndarray, k: int) -> DataFrame:
-    """Shared ADC scorer: pairs(a, qv, b, codes) → per-query top-k by
-    asymmetric distance. Per Arrow batch one M×2^bits LUT per distinct
-    query (exact query-to-centroid distances); every corpus vector scores
-    as M table lookups over its codes — no decode, no raw-vector math."""
+def _adc_topk(
+    pairs: DataFrame,
+    codebooks: np.ndarray,
+    k: int,
+    anchors: np.ndarray | None = None,
+    residual: bool = False,
+) -> DataFrame:
+    """Shared ADC scorer: pairs(a, qv, b, codes[, cell]) → per-query top-k
+    by asymmetric distance. Per Arrow batch one M×2^bits LUT per distinct
+    (query[, cell]) — exact query-to-centroid distances; every corpus
+    vector scores as M table lookups over its codes — no decode, no
+    raw-vector math. With ``residual`` the LUT is built against
+    q − anchor[cell], matching residual-encoded codes (IVFADC)."""
     books = codebooks.astype(np.float64)
     n_sub, k_cent, sub = books.shape
+    cent = anchors.astype(np.float64) if residual else None
+    if residual and cent is None:
+        raise ValueError("residual scoring requires anchors (ivf_cell_means)")
 
     @pandas_udf("double")
-    def adc(qvs: pd.Series, codes: pd.Series) -> pd.Series:
+    def adc(qvs: pd.Series, codes: pd.Series, cells: pd.Series) -> pd.Series:
         out = np.empty(len(qvs))
         lut_cache: dict = {}
         cd = np.array(codes.tolist(), dtype=np.int64)
         qarr = np.array(qvs.tolist(), dtype=np.float64)
-        # one LUT per distinct query in the batch
-        keys = [qv.tobytes() for qv in qarr]
-        for i, key in enumerate(keys):
+        cl = cells.to_numpy(np.int64)
+        for i in range(len(qarr)):
+            key = (qarr[i].tobytes(), int(cl[i]) if cent is not None else 0)
             lut = lut_cache.get(key)
             if lut is None:
+                q = qarr[i] - cent[cl[i]] if cent is not None else qarr[i]
                 lut = np.empty((n_sub, k_cent))
                 for m in range(n_sub):
-                    qs = qarr[i, m * sub : (m + 1) * sub]
+                    qs = q[m * sub : (m + 1) * sub]
                     lut[m] = ((books[m] - qs[None, :]) ** 2).sum(axis=1)
                 lut_cache[key] = lut
             out[i] = lut[np.arange(n_sub), cd[i]].sum()
         return pd.Series(out)
 
+    cell_col = F.col("cell") if residual else F.lit(0)
     scored = pairs.select(
-        "a", "b", F.round(adc(F.col("qv"), F.col("codes")), 6).alias("adc")
+        "a",
+        "b",
+        F.round(adc(F.col("qv"), F.col("codes"), cell_col), 6).alias("adc"),
     )
     win = Window.partitionBy("a").orderBy(F.asc("adc"), F.asc("b"))
     return (
@@ -396,6 +480,8 @@ def pq_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 2,
+    residual: bool = False,
+    anchors: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF∘PQ top-k: coarse-cell pruning composed in front of ADC re-rank.
 
@@ -404,7 +490,10 @@ def pq_topk_ivf(
     (query-side only — corpus vectors live in exactly one cell, so no pair
     duplicates) and ADC-scores only those cells' codes: the scan drops from
     the whole corpus to ~nprobe/num_cells of it, which is what survives a
-    10⁹-vector corpus. Jégou et al. TPAMI'11 §IV (IVFADC)."""
+    10⁹-vector corpus. ``residual=True`` expects residual-encoded codes
+    (``pq_train/pq_encode`` with ``residual=True`` + the SAME ``anchors``
+    from :func:`ivf_cell_means`) and builds the per-cell LUT against
+    q − anchor — Jégou et al. TPAMI'11 §IV (IVFADC)."""
     if "cell" not in corpus_codes.columns:
         raise ValueError(
             "corpus_codes has no 'cell' column — encode with "
@@ -415,4 +504,4 @@ def pq_topk_ivf(
     )
     c = corpus_codes.select(F.col("id").alias("b"), "codes", "cell")
     pairs = qa.join(c, "cell").filter(F.col("a") != F.col("b"))
-    return _adc_topk(pairs, codebooks, k)
+    return _adc_topk(pairs, codebooks, k, anchors=anchors, residual=residual)

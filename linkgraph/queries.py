@@ -1987,11 +1987,13 @@ SELECT a, b, cosine FROM (
 
 
 def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF∘PQ ANN: coarse-cell pruning (nprobe=2 of 8 cells) in front of
-    the asymmetric-distance re-rank — the 10⁹-vector shape, not a linear
-    ADC scan. Top-3 for the first 20 query vectors (rows-only: PQ codes
-    depend on seeded k-means, not SQL-reproducible)."""
+    """IVFADC ANN: coarse-cell pruning (nprobe=2 of 8 cells) in front of
+    the asymmetric-distance re-rank over RESIDUAL-encoded codes
+    (x − cell-mean anchors) — the 10⁹-vector shape, not a linear ADC scan.
+    Top-3 for the first 20 query vectors (rows-only: PQ codes depend on
+    seeded k-means, not SQL-reproducible)."""
     from linkgraph.pipeline.ann import (
+        ivf_cell_means,
         pq_encode,
         pq_topk_ivf,
         pq_train,
@@ -2000,10 +2002,13 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cent = train_ivf_centroids(emb, num_cells=8)
-    books = pq_train(emb, num_subspaces=8, bits=6, iters=4)
-    codes = pq_encode(emb, books, centroids=cent)
+    anchors = ivf_cell_means(emb, cent)
+    books = pq_train(emb, num_subspaces=8, bits=6, iters=4,
+                     centroids=cent, residual=True, anchors=anchors)
+    codes = pq_encode(emb, books, centroids=cent, residual=True, anchors=anchors)
     qs = emb.filter(F.col("vec_id") < 20)
-    return pq_topk_ivf(qs, codes, books, cent, k=3, nprobe=2)
+    return pq_topk_ivf(qs, codes, books, cent, k=3, nprobe=2,
+                       residual=True, anchors=anchors)
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -290,6 +290,55 @@ def test_pq_ivf_composition(spark):
     assert len(exhaustive & pruned) / len(exhaustive) >= 0.9
 
 
+def test_pq_residual_encoding_beats_raw(spark):
+    """IVFADC proper: quantizing residuals (x − centroid) carries far more
+    detail per code byte than quantizing raw vectors. At a coarse code
+    budget (bits=3) residual recall vs exact L2 must be ≥ raw recall, and
+    high in absolute terms."""
+    from linkgraph.pipeline.ann import (
+        ivf_cell_means,
+        pq_encode,
+        pq_topk_ivf,
+        pq_train,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(17)
+    centers = rng.normal(size=(4, 8)) * 6  # far-apart clusters, local detail
+    mat = np.vstack([c + rng.normal(size=(40, 8)) * 0.5 for c in centers])
+    emb = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(160)], "vec_id long, embedding array<double>"
+    )
+    cent = train_ivf_centroids(emb, num_cells=4, max_sample=1000)
+    anchors = ivf_cell_means(emb, cent)
+    qs = emb.filter(F.col("vec_id") < 25)
+
+    # exact L2 ground truth (numpy)
+    d2 = ((mat[:25, None, :] - mat[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d2[:, :25], np.inf)
+    truth = {
+        (a, b) for a in range(25) for b in np.argsort(d2[a])[:3]
+    }
+
+    def recall(residual):
+        books = pq_train(emb, num_subspaces=4, bits=3, iters=6,
+                         centroids=cent, residual=residual, anchors=anchors)
+        coded = pq_encode(emb, books, centroids=cent, residual=residual,
+                          anchors=anchors)
+        got = {
+            (r["a"], r["b"])
+            for r in pq_topk_ivf(qs, coded, books, cent, k=3, nprobe=4,
+                                 residual=residual, anchors=anchors).collect()
+        }
+        return len(truth & got) / len(truth)
+
+    r_raw, r_res = recall(False), recall(True)
+    # residual quantization error is a fraction of raw (anchors at data
+    # scale): strictly better recall at this coarse 3-bit budget
+    assert r_res > r_raw
+    assert r_res >= 0.5
+
+
 def test_pq_topk_ivf_requires_cell_column(spark):
     from linkgraph.pipeline.ann import pq_encode, pq_topk_ivf, pq_train, train_ivf_centroids
 
