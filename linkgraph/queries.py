@@ -1625,6 +1625,36 @@ FROM edges GROUP BY src"""
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup over the documents replayed TWICE as a file
+    stream (the second copy must be fully dropped by state); survivors'
+    md5 content hashes must equal batch SELECT DISTINCT md5(text)."""
+    import shutil
+    import tempfile
+
+    from linkgraph.streaming import run_available_now, stream_exact_dedup
+
+    tmp = tempfile.mkdtemp(prefix="linkgraph_sdedup_")
+    try:
+        src_dir = f"{tmp}/docs"
+        docs = load_documents(spark, sf_dir).select("doc_id", "text")
+        docs.write.parquet(src_dir)
+        docs.write.mode("append").parquet(src_dir)  # replay: state must dedup
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src_dir)
+        rows = run_available_now(
+            stream_exact_dedup(stream, hash_fn="md5"), "stream_dedup_q"
+        )
+        return spark.createDataFrame(
+            sorted({r["text_hash"] for r in rows}), "string"
+        ).toDF("text_hash")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def sql_stream_dedup() -> str:
+    return "SELECT DISTINCT md5(text) AS text_hash FROM documents"
+
+
 # ---------------------------------------------------------- triangle stream
 def q_doc_triangle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.algorithms.triangles import triangle_stream
@@ -2086,6 +2116,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "emb_pearson_procs": q_emb_pearson_procs,
     "rel_dedup_minmax": q_rel_dedup_minmax,
+    "stream_dedup": q_stream_dedup,
     # rows-only (no SQL-expressible oracle: hashing/UDF/iterative-internal)
     "doc_betweenness": q_doc_betweenness,
     "doc_louvain": q_doc_louvain,
@@ -2168,4 +2199,5 @@ ORACLES = {
     "doc_allsp_weighted": sql_doc_allsp_weighted(),
     "doc_scc": sql_doc_scc(),
     "emb_near_dup": sql_emb_near_dup(),
+    "stream_dedup": sql_stream_dedup(),
 }

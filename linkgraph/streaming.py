@@ -39,6 +39,36 @@ def stream_quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return quality_scores(docs, text_col)
 
 
+def stream_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    event_time_col: str | None = None,
+    watermark: str = "10 minutes",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Streaming exact deduplication on content hash.
+
+    Continuous-ingestion twin of ``pipeline.dedup.exact_duplicates``: each
+    document's content is hashed JVM-side (xxhash64 — same key as the
+    batch path) and duplicates are dropped as they arrive. With an event-
+    time column the state is WATERMARK-BOUNDED
+    (``dropDuplicatesWithinWatermark``): a re-ingested document more than
+    ``watermark`` late is treated as new, but state never grows past the
+    window — the only shape that survives an unbounded corpus stream.
+    Without one, plain ``dropDuplicates`` keeps all-time state (exact, for
+    bounded backfills). ``hash_fn``: 'xxhash64' (fastest) or 'md5'
+    (cross-engine-stable hex, used by the oracle-checked contract query)."""
+    hexpr = (
+        F.md5(F.col(text_col)) if hash_fn == "md5" else F.xxhash64(F.col(text_col))
+    )
+    hashed = docs.withColumn("text_hash", hexpr)
+    if event_time_col is not None:
+        return hashed.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+            ["text_hash"]
+        )
+    return hashed.dropDuplicates(["text_hash"])
+
+
 def windowed_edge_degrees(
     edges: DataFrame,
     ts_col: str = "ts",

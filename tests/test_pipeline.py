@@ -396,6 +396,36 @@ def test_streaming_token_stats_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Streaming dedup drops exact content duplicates as they arrive and
+    agrees with the batch exact-dedup grouping."""
+    import datetime
+
+    from linkgraph.streaming import run_available_now, stream_exact_dedup
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (i, t, t0 + datetime.timedelta(minutes=i)) for i, t in enumerate(TEXTS)
+    ]
+    src_dir = str(tmp_path / "dedup_stream")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp"
+    ).write.parquet(src_dir)
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(
+        src_dir
+    )
+    # all-time-state variant: one survivor per distinct text
+    got = run_available_now(stream_exact_dedup(stream), "dedup_stream_q")
+    texts = [r["text"] for r in got]
+    assert sorted(texts) == sorted(set(TEXTS))
+    # watermark-bounded variant runs and also drops the in-window duplicate
+    got_wm = run_available_now(
+        stream_exact_dedup(stream, event_time_col="ts", watermark="1 hour"),
+        "dedup_stream_wm_q",
+    )
+    assert sorted(r["text"] for r in got_wm) == sorted(set(TEXTS))
+
+
 def test_streaming_windowed_degrees(spark, tmp_path):
     import datetime
 
