@@ -75,6 +75,8 @@ def main() -> None:
     timed("doc_scc", Q.q_doc_scc)
     timed("doc_louvain", Q.q_doc_louvain)
     timed("user_cosine_sparse", Q.q_user_cosine_sparse)
+    timed("doc_random_walks", Q.q_doc_random_walks)
+    timed("emb_pq_topk", Q.q_emb_pq_topk)
 
     # headline: PageRank superstep throughput on the skewed power-law graph
     from linkgraph.bench_graph import cached_powerlaw_edges

@@ -261,3 +261,41 @@ def test_msbfs_outgoing_direction_matches_numpy(spark, g):
                 dsum[t] += dist[t]
     for v in ids:
         assert got[v] == (reach[idx[v]], dsum[idx[v]]), v
+
+
+@settings(**SETTINGS)
+@given(graphs(), st.integers(0, 2**31 - 1), st.booleans())
+def test_random_walks_valid_and_deterministic(spark, g, seed, node2vec):
+    """Every hop follows a real (undirected) edge, every walk starts at its
+    start node, and the result is identical across runs for any seed and
+    mode — the counter-based RNG must not depend on partitioning."""
+    from linkgraph.algorithms.randomwalk import random_walks
+
+    n, edges = g
+    if not edges:
+        return
+    graph = Graph.from_edges(
+        edges_df(spark, edges),
+        nodes=spark.createDataFrame([(i,) for i in range(n)], "id long"),
+    )
+    kwargs = dict(steps=4, walks_per_node=2, seed=seed)
+    if node2vec:
+        kwargs.update(mode="node2vec", return_param=2.0, in_out_param=0.5)
+    r1 = sorted(
+        (r["start"], r["walk_idx"], tuple(r["path"]))
+        for r in random_walks(graph, **kwargs).collect()
+    )
+    r2 = sorted(
+        (r["start"], r["walk_idx"], tuple(r["path"]))
+        for r in random_walks(graph, **kwargs).collect()
+    )
+    assert r1 == r2
+    und = {(a, b) for a, b, _ in edges} | {(b, a) for a, b, _ in edges}
+    assert len(r1) == n * 2
+    for start, _wi, path in r1:
+        assert path[0] == start
+        for a, b in zip(path, path[1:]):
+            assert (a, b) in und
+        # a walk may stop early ONLY at a node with no (undirected) nbrs
+        if len(path) < 5:
+            assert not any(path[-1] == a for a, _ in und)
