@@ -28,10 +28,13 @@ sys.path.insert(0, REPO)
 def build_zip() -> str:
     """Fresh --py-files zip in a TEMP dir — never under the repo, so a
     stale artifact can't shadow HEAD code (recurring r1/r2 judge finding;
-    tests/test_dist_zip.py guards the repo side)."""
+    tests/test_dist_zip.py guards the repo side). The dir is removed at
+    process exit so repeated bench runs don't fill /tmp."""
+    import atexit
     import tempfile
 
     dist = tempfile.mkdtemp(prefix="linkgraph_zip_")
+    atexit.register(shutil.rmtree, dist, ignore_errors=True)
     return shutil.make_archive(os.path.join(dist, "linkgraph"), "zip",
                                root_dir=REPO, base_dir="linkgraph")
 

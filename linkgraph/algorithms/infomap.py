@@ -169,8 +169,15 @@ def infomap(
 
     n_edges = graph.edges.count()
     # flow: distributed PageRank visit rates, normalized to Σp = 1
-    # (pull/CSC fast path when ids are contiguous — zero shuffle/superstep)
-    strat = "pull" if _contiguous_n(graph.nodes.select("id")) else "csr"
+    # (pull/CSC fast path when ids are contiguous AND the rank vector fits
+    # driver memory — same cap as PageRank's own auto resolution; beyond
+    # it the push/CSR shuffle path)
+    n_contig = _contiguous_n(graph.nodes.select("id"))
+    strat = (
+        "pull"
+        if n_contig is not None and n_contig <= PageRank.PULL_MAX_NODES
+        else "csr"
+    )
     ranks = PageRank(
         damping=damping,
         max_iterations=pr_iterations,

@@ -88,12 +88,17 @@ def _np_modularity(src, dst, w, comm, k, m2: float) -> float:
 
 
 def _np_louvain(src, dst, w, n: int, m2: float, max_levels: int,
-                move_rounds: int, init_comm=None, node_ids=None):
+                move_rounds: int, init_comm=None, node_ids=None,
+                init_label_ids=None):
     """Multilevel numpy Louvain over a both-direction edge list with dense
     node labels [0, n). ``node_ids`` (dense index → original id) keeps the
     parity alternation aligned with the distributed kernel's
     ``pmod(original_id, 2)`` across every level — a super-node's original
     id is the id of the community label it was contracted from.
+    ``init_label_ids`` maps level-0 community-label VALUES to their
+    distributed-world ids (seed values): with a seeded ``init_comm`` the
+    label space is the factorized seed space, not the node space, so the
+    coarsening label→id lookup must use the seed ids, not ``node_ids``.
     Returns (mapping original-node→community label in original label
     space, levels list, final modularity)."""
     k0 = np.bincount(src, weights=w, minlength=n)
@@ -124,7 +129,16 @@ def _np_louvain(src, dst, w, n: int, m2: float, max_levels: int,
         uniq, dense = np.unique(mapping, return_inverse=True)
         mapping = dense.astype(np.int64)
         cur_n = len(uniq)
-        pids = pids[uniq]  # super-node's original id = its label's id
+        # super-node's original id = its label's id — in the LABEL space of
+        # the level just finished (seed space at a seeded level 0, node
+        # space everywhere else)
+        lids = (
+            np.asarray(init_label_ids, dtype=np.int64)
+            if (len(levels) == 1 and init_comm is not None
+                and init_label_ids is not None)
+            else pids
+        )
+        pids = lids[uniq]
         key = mapping[src] * cur_n + mapping[dst]
         uk, inv = np.unique(key, return_inverse=True)
         cw = np.bincount(inv, weights=w)
@@ -294,6 +308,7 @@ def louvain(
         src, dst, w, ids = _collect_edges(und)
         n = len(ids)
         init = None
+        seed_label_ids = None
         if seed_col is not None and seed_col in nodes.columns:
             seeds = (
                 nodes.select("id", F.col(seed_col).cast("long").alias("s"))
@@ -306,11 +321,12 @@ def louvain(
             raw[np.searchsorted(ids, nid[keep])] = sval[keep].astype(np.int64)
             # factorize to dense labels in [0, n); np.unique is
             # order-preserving so min-id tiebreaks match raw label order
-            _, init = np.unique(raw, return_inverse=True)
+            seed_label_ids, init = np.unique(raw, return_inverse=True)
             init = init.astype(np.int64)
         mapping, lv_np, q = _np_louvain(
             src, dst, w, n, m2, max_levels, move_rounds, init_comm=init,
             node_ids=ids,
+            init_label_ids=seed_label_ids,
         )
         import pandas as pd
 

@@ -213,16 +213,20 @@ class PageRank:
 
     # -------------------------------------------------------------------- run
     def run(self, graph: Graph) -> DataFrame:
-        if self.strategy == "auto":
-            # strategy resolution (once per run): pull = CSC blocks + one
-            # broadcast rank vector, ZERO shuffle per superstep — the fast
-            # path whenever ids are contiguous and the vector fits memory;
-            # csr = push scatter + groupBy(dst).sum gather beyond that.
+        strategy = self.strategy
+        if strategy == "auto":
+            # strategy resolution (per RUN, into a local + resolved_strategy
+            # — a reused instance must re-resolve for each new graph):
+            # pull = CSC blocks + one broadcast rank vector, ZERO shuffle
+            # per superstep — the fast path whenever ids are contiguous and
+            # the vector fits memory; csr = push scatter +
+            # groupBy(dst).sum gather beyond that.
             n = _contiguous_n(graph.nodes.select("id"))
-            self.strategy = (
+            strategy = (
                 "pull" if n is not None and n <= self.PULL_MAX_NODES else "csr"
             )
-        if self.strategy == "pull":
+        self.resolved_strategy = strategy
+        if strategy == "pull":
             t0 = time.time()
             out = self._run_pull(graph)
             self.metrics.compute_millis = int((time.time() - t0) * 1000)
@@ -239,7 +243,7 @@ class PageRank:
         block_path = None
         owns_blocks = False
         b = self.num_blocks
-        if self.strategy == "csr":
+        if strategy == "csr":
             # materialize the CSR block store once (worker-resident thereafter)
             block_path = self.block_store
             if block_path is None:
@@ -276,7 +280,7 @@ class PageRank:
         step = start_step
         while step < self.max_iterations:
             it0 = time.time()
-            if self.strategy == "csr":
+            if strategy == "csr":
                 rank_blocks = blocks.pack_rank_blocks(ranks, "rank", b)
                 contribs = blocks.scatter_gather(rank_blocks, block_path)
             else:

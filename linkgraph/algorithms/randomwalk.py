@@ -88,6 +88,47 @@ def _segment_lower_bound(indices, lo, hi, needle):
     return lo
 
 
+def _node2vec_step(indices, indptr, off, deg, u, prev_w, p_ret, q_io):
+    """One node2vec hop for a CHUNK of walks, fully vectorized.
+
+    off/deg/u/prev_w are per-walk (current node's adjacency offset and
+    degree, the walk's uniform draw, its previous node or -1). Flattens
+    the chunk's ragged neighbor lists, scores each neighbor with the
+    p/q bias (binary-search membership in adj(prev)), and draws via
+    inverse CDF over in-segment cumsums."""
+    total = int(deg.sum())
+    seg_end = np.cumsum(deg)
+    seg_start = seg_end - deg
+    wid = np.repeat(np.arange(len(deg)), deg)
+    pos = np.arange(total) - np.repeat(seg_start, deg)
+    fl = indices[np.repeat(off, deg) + pos]  # flat neighbors
+    prev_rep = prev_w[wid]
+    pclip = np.maximum(prev_w, 0)
+    # membership of each neighbor in adj(prev): binary search
+    lb = _segment_lower_bound(
+        indices, indptr[pclip][wid], indptr[pclip + 1][wid], fl
+    )
+    member = (lb < indptr[pclip + 1][wid]) & (
+        indices[np.minimum(lb, len(indices) - 1)] == fl
+    )
+    wts = np.where(
+        fl == prev_rep,
+        1.0 / p_ret,
+        np.where(member, 1.0, 1.0 / q_io),
+    )
+    wts[prev_rep < 0] = 1.0  # first hop: uniform
+    # categorical draw per walk via inverse CDF in-segment
+    cs = np.cumsum(wts)
+    before = np.concatenate(([0.0], cs[seg_end[:-1] - 1]))
+    cs_in = cs - np.repeat(before, deg)
+    seg_tot = cs_in[seg_end - 1]
+    thresh = u * seg_tot
+    flat_idx = np.where(cs_in >= thresh[wid], np.arange(total), total)
+    first = np.minimum.reduceat(flat_idx, seg_start)
+    first = np.minimum(first, seg_end - 1)  # fp round-off
+    return fl[first]
+
+
 def random_walks(
     graph: Graph,
     steps: int = 10,
@@ -137,40 +178,26 @@ def random_walks(
                 deg = deg_all[c]
                 u = _u01(seed, s_rep[act], wi_rep[act], t)
                 if mode == "node2vec":
-                    # flatten the ragged neighbor lists of all active walks
-                    total = int(deg.sum())
-                    seg_end = np.cumsum(deg)
-                    seg_start = seg_end - deg
-                    wid = np.repeat(np.arange(act.size), deg)
-                    pos = np.arange(total) - np.repeat(seg_start, deg)
-                    fl = indices[np.repeat(off, deg) + pos]  # flat neighbors
-                    prev_rep = prev[act][wid]
-                    pclip = np.maximum(prev[act], 0)
-                    # membership of each neighbor in adj(prev): binary search
-                    lb = _segment_lower_bound(
-                        indices, indptr[pclip][wid], indptr[pclip + 1][wid], fl
-                    )
-                    member = (lb < indptr[pclip + 1][wid]) & (
-                        indices[np.minimum(lb, len(indices) - 1)] == fl
-                    )
-                    wts = np.where(
-                        fl == prev_rep,
-                        1.0 / p_ret,
-                        np.where(member, 1.0, 1.0 / q_io),
-                    )
-                    wts[prev_rep < 0] = 1.0  # first hop: uniform
-                    # categorical draw per walk via inverse CDF in-segment
-                    cs = np.cumsum(wts)
-                    before = np.concatenate(([0.0], cs[seg_end[:-1] - 1]))
-                    cs_in = cs - np.repeat(before, deg)
-                    seg_tot = cs_in[seg_end - 1]
-                    thresh = u * seg_tot
-                    flat_idx = np.where(
-                        cs_in >= thresh[wid], np.arange(total), total
-                    )
-                    first = np.minimum.reduceat(flat_idx, seg_start)
-                    first = np.minimum(first, seg_end - 1)  # fp round-off
-                    nxt = fl[first]
+                    # Chunk the active set so the flattened neighbor arrays
+                    # stay bounded (~FLAT_BUDGET entries) even when many
+                    # walks sit on power-law hub nodes at once — the
+                    # vectorization must not trade O(max_degree) per-walk
+                    # memory for an unbounded sum-of-degrees allocation.
+                    FLAT_BUDGET = 4_000_000
+                    csum = np.cumsum(deg)
+                    nxt = np.empty(act.size, np.int64)
+                    lo_i = 0
+                    while lo_i < act.size:
+                        base = csum[lo_i] - deg[lo_i]
+                        hi_i = int(np.searchsorted(csum, base + FLAT_BUDGET,
+                                                   side="right"))
+                        hi_i = max(hi_i, lo_i + 1)  # ≥1 walk per chunk
+                        sl = slice(lo_i, hi_i)
+                        nxt[sl] = _node2vec_step(
+                            indices, indptr, off[sl], deg[sl], u[sl],
+                            prev[act][sl], p_ret, q_io,
+                        )
+                        lo_i = hi_i
                 else:
                     idx = off + np.minimum((u * deg).astype(np.int64), deg - 1)
                     nxt = indices[idx]

@@ -33,10 +33,14 @@ def _pairwise(
     max_broadcast_bytes: int = 2 << 30,
 ) -> DataFrame:
     # Guard on the broadcast's actual SIZE (rows × dim × 8 bytes), not row
-    # count alone — 200k rows of 2048-dim float64 is already ~3.3 GB.
-    n_items = items.count()
-    first = items.select(vector_col).first()
-    dim = len(first[vector_col]) if first is not None else 0
+    # count alone — 200k rows of 2048-dim float64 is already ~3.3 GB. dim =
+    # MAX vector size across rows (one agg; NULL-safe, conservative for
+    # ragged inputs — the first row alone could underestimate 256×).
+    agg = items.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size(vector_col)).alias("dim")
+    ).first()
+    n_items = int(agg["n"] or 0)
+    dim = int(agg["dim"] or 0)
     est_bytes = n_items * max(dim, 1) * 8
     if est_bytes > max_broadcast_bytes:
         raise ValueError(

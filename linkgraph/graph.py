@@ -78,8 +78,15 @@ class Graph:
             e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
 
         if direction == BOTH:
+            if duplicate_relationships == "skip":
+                # 'skip' (keep-first) is an arbitrary pick — applying it over
+                # the symmetrized union could pick DIFFERENT survivors for
+                # (a,b) and (b,a). Pick per original orientation first, then
+                # symmetrize with the deterministic max tie-break so both
+                # directions always agree.
+                e = e.groupBy("src", "dst").agg(F.first("weight").alias("weight"))
             rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
-            if duplicate_relationships != "none":
+            if duplicate_relationships in ("sum", "min", "max"):
                 # The explicit strategy governs ALL parallel relationships —
                 # including the reciprocal copies symmetrization introduces.
                 # One agg over the union equals "strategy on parallels, then

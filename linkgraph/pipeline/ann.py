@@ -412,9 +412,9 @@ def _adc_topk(
     q − anchor[cell], matching residual-encoded codes (IVFADC)."""
     books = codebooks.astype(np.float64)
     n_sub, k_cent, sub = books.shape
-    cent = anchors.astype(np.float64) if residual else None
-    if residual and cent is None:
+    if residual and anchors is None:
         raise ValueError("residual scoring requires anchors (ivf_cell_means)")
+    cent = anchors.astype(np.float64) if residual else None
 
     @pandas_udf("double")
     def adc(qvs: pd.Series, codes: pd.Series, cells: pd.Series) -> pd.Series:

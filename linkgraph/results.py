@@ -36,9 +36,9 @@ def _component_extras(result: DataFrame, col: str = "component") -> dict:
         .first()
     )
     return {
-        "setCount": int(row["setCount"]),
-        "minSetSize": int(row["minSetSize"]),
-        "maxSetSize": int(row["maxSetSize"]),
+        "setCount": int(row["setCount"] or 0),
+        "minSetSize": int(row["minSetSize"] if row["minSetSize"] is not None else 0),
+        "maxSetSize": int(row["maxSetSize"] if row["maxSetSize"] is not None else 0),
     }
 
 
@@ -47,9 +47,9 @@ def _centrality_extras(result: DataFrame, col: str) -> dict:
         F.min(col).alias("mn"), F.max(col).alias("mx"), F.sum(col).alias("sm")
     ).first()
     return {
-        "minCentrality": float(row["mn"]),
-        "maxCentrality": float(row["mx"]),
-        "sumCentrality": float(row["sm"]),
+        "minCentrality": float(row["mn"] if row["mn"] is not None else 0.0),
+        "maxCentrality": float(row["mx"] if row["mx"] is not None else 0.0),
+        "sumCentrality": float(row["sm"] if row["sm"] is not None else 0.0),
     }
 
 

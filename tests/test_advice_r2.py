@@ -102,6 +102,62 @@ def test_louvain_numpy_parity_uses_original_ids(spark):
     assert sorted(map(sorted, part1.values())) == sorted(map(sorted, part2.values()))
 
 
+def test_both_direction_skip_is_symmetric_and_deterministic(spark):
+    """'skip' is an arbitrary pick per parallel group, but after BOTH
+    symmetrization the two directions must carry the SAME weight (max
+    tie-break across reciprocals) — run twice, both symmetric and equal."""
+    triples = [(1, 2, 5.0), (2, 1, 7.0), (1, 2, 5.0)]
+    w1 = _both_weights(spark, triples, "skip")
+    w2 = _both_weights(spark, triples, "skip")
+    assert w1[(1, 2)] == w1[(2, 1)]
+    assert w1 == w2
+
+
+def test_louvain_seeded_cross_threshold_parity(spark):
+    """Seeded multilevel Louvain must produce the same partition on the
+    driver-numpy and distributed paths (seed labels live in their own
+    label space; coarsening must map them through seed ids)."""
+    from linkgraph.algorithms.louvain import louvain
+
+    clique_a = [(i, j, 1.0) for i in range(4) for j in range(4) if i != j]
+    clique_b = [(i, j, 1.0) for i in range(10, 14) for j in range(10, 14) if i != j]
+    bridge = [(0, 10, 0.1), (10, 0, 0.1)]
+    seeds = {i: 77 for i in range(4)} | {i: 99 for i in range(10, 14)}
+    from tests.conftest import nodes_df
+
+    g = Graph.from_edges(
+        edges_df(spark, clique_a + clique_b + bridge),
+        nodes=nodes_df(spark, list(range(4)) + list(range(10, 14)), seeds),
+    )
+    r_driver = {r["id"]: r["community"]
+                for r in louvain(g, max_levels=3, seed_col="seed").collect()}
+    r_dist = {r["id"]: r["community"]
+              for r in louvain(g, max_levels=3, seed_col="seed",
+                               driver_threshold=0).collect()}
+
+    def parts(m):
+        out = {}
+        for i, c in m.items():
+            out.setdefault(c, set()).add(i)
+        return sorted(map(sorted, out.values()))
+
+    assert parts(r_driver) == parts(r_dist)
+
+
+def test_write_proc_empty_graph_stats(spark):
+    """Stats rows on an empty/edgeless result must not crash on NULL
+    aggregates (int(None))."""
+    from linkgraph.algorithms.wcc import wcc
+    from linkgraph.results import run_write_proc
+
+    empty = spark.createDataFrame([], "src long, dst long, weight double")
+    g = Graph.from_edges(empty,
+                         nodes=spark.createDataFrame([], "id long"))
+    r = run_write_proc("unionFind", g, lambda g_: wcc(g_)).first().asDict()
+    assert r["nodes"] == 0 and r["setCount"] == 0
+    assert r["minSetSize"] == 0 and r["maxSetSize"] == 0
+
+
 # ---------------------------------------------------------------- finding 4
 def test_checkpoint_format_mismatch_refused(spark, tmp_path):
     from linkgraph.io import CheckpointManager

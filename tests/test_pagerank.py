@@ -49,7 +49,8 @@ def test_pagerank_auto_strategy(spark):
     the numpy oracle either way."""
     golden = np_pagerank([(s, d, 1.0) for s, d in G_PR], N, iters=30)
     got, pr = _run(spark, "auto", max_iterations=30)
-    assert pr.strategy == "pull"  # contiguous 0..N-1 ids
+    assert pr.resolved_strategy == "pull"  # contiguous 0..N-1 ids
+    assert pr.strategy == "auto"  # config not mutated — instance is reusable
     for i in range(N):
         assert got[i] == pytest.approx(golden[i], abs=1e-9)
     # shift ids → non-contiguous → csr
@@ -61,9 +62,14 @@ def test_pagerank_auto_strategy(spark):
     )
     pr2 = PageRank(strategy="auto", max_iterations=30)
     got2 = {r["id"]: r["rank"] for r in pr2.run(shifted).collect()}
-    assert pr2.strategy == "csr"
+    assert pr2.resolved_strategy == "csr"
     for i in range(N):
         assert got2[i + 1000] == pytest.approx(golden[i], abs=1e-9)
+    # a reused auto instance re-resolves per graph
+    got3 = {r["id"]: r["rank"] for r in pr2.run(_graph(spark, False)).collect()}
+    assert pr2.resolved_strategy == "pull"
+    for i in range(N):
+        assert got3[i] == pytest.approx(golden[i], abs=1e-9)
 
 
 def test_pagerank_convergence_1e6(spark):
