@@ -47,14 +47,19 @@ def scc(graph: Graph, max_rounds: int = 10_000) -> DataFrame:
             )
             has_out = srcs.select(F.col("src").alias("id")).distinct()
             has_in = srcs.select(F.col("dst").alias("id")).distinct()
-            nontrivial = active.join(has_out, "id").join(has_in, "id")
-            trivial = active.join(nontrivial, "id", "left_anti")
-            if trivial.isEmpty():
+            # checkpoint ONCE, then every emptiness probe / anti-join below
+            # reads the materialized table instead of re-running the joins
+            nontrivial = (
+                active.join(has_out, "id").join(has_in, "id")
+                .localCheckpoint(eager=True)
+            )
+            if nontrivial.count() == active.count():  # both checkpointed: cheap
                 break
+            trivial = active.join(nontrivial, "id", "left_anti")
             result = result.unionByName(
                 trivial.select("id", F.col("id").alias("component"))
             ).localCheckpoint(eager=True)
-            active = nontrivial.localCheckpoint(eager=True)
+            active = nontrivial
         if active.isEmpty():
             converged = True
             break
@@ -75,21 +80,22 @@ def scc(graph: Graph, max_rounds: int = 10_000) -> DataFrame:
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.max("c_src").alias("c_in"))
             )
+            # checkpoint the merged table ONCE per round; frontier and the
+            # next colors are cheap projections of it (previously the
+            # inc-join was recomputed for both, doubling every round)
             merged = colors.join(inc, "id", "left").select(
                 "id",
                 "color",
                 F.coalesce("c_in", F.lit(-1)).alias("c_in"),
+            ).localCheckpoint(eager=True)
+            frontier = merged.filter(F.col("c_in") > F.col("color")).select(
+                "id", F.col("c_in").alias("color")
             )
-            frontier = (
-                merged.filter(F.col("c_in") > F.col("color"))
-                .select("id", F.col("c_in").alias("color"))
-                .localCheckpoint(eager=True)
-            )
-            if frontier.isEmpty():
+            if frontier.isEmpty():  # cheap scan of the checkpointed table
                 break
             colors = merged.select(
                 "id", F.greatest("color", "c_in").alias("color")
-            ).localCheckpoint(eager=True)
+            )
         # --- multi-source backward reach from ALL color roots at once,
         # restricted to same-color nodes: that is exactly the root's SCC
         roots = colors.filter(F.col("id") == F.col("color")).select("id", "color")
