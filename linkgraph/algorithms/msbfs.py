@@ -56,32 +56,31 @@ def _level_sync_msbfs(edges: DataFrame, assign: DataFrame, max_depth: int | None
         depth += 1
         if max_depth is not None and depth > max_depth:
             return
-        nxt = (
+        agg = (
             edges.join(frontier, edges.src == frontier.id)
             .groupBy("chunk", F.col("dst").alias("id"))
             .agg(F.expr("bit_or(bits)").alias("nbits"))
         )
-        nxt = (
-            nxt.join(visited, ["chunk", "id"], "left")
+        # ONE checkpoint per level: the merged (visited ⟗ new-arrivals)
+        # table carries both the newly-set bits (frontier) and the updated
+        # visited bits as cheap projections — previously the frontier and
+        # the visited update were two separate heavy jobs per level
+        merged = (
+            visited.join(agg, ["chunk", "id"], "outer")
             .select(
                 "chunk",
                 "id",
-                F.expr("nbits & ~coalesce(vbits, 0L)").alias("bits"),
+                F.expr("coalesce(vbits, 0L)").alias("vbits"),
+                F.expr("coalesce(nbits, 0L) & ~coalesce(vbits, 0L)").alias("bits"),
             )
-            .filter(F.col("bits") != 0)
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        nxt = merged.filter(F.col("bits") != 0).select("chunk", "id", "bits")
+        if nxt.isEmpty():  # cheap scan of the checkpointed table
             return
         yield depth, nxt
-        visited = (
-            visited.join(nxt, ["chunk", "id"], "outer")
-            .select(
-                "chunk",
-                "id",
-                F.expr("coalesce(vbits, 0L) | coalesce(bits, 0L)").alias("vbits"),
-            )
-            .localCheckpoint(eager=True)
+        visited = merged.select(
+            "chunk", "id", F.expr("vbits | bits").alias("vbits")
         )
         frontier = nxt
 
