@@ -92,18 +92,29 @@ def _minhash_params(num_hashes: int, seed: int = 42):
     return a, b
 
 
-def _token_hash_col(text_col: str):
-    """array<long> of per-token xxhash64 values — computed JVM-side inside
-    whole-stage codegen; Python never touches a token string."""
-    return F.transform(
-        F.array_distinct(F.split(F.col(text_col), " ")), lambda t: F.xxhash64(t)
+def _token_hash_col(text_col: str, shingle: int = 1):
+    """array<long> of per-shingle xxhash64 values — computed JVM-side
+    inside whole-stage codegen; Python never touches a token string.
+
+    ``shingle`` = word n-gram width: 1 hashes distinct unigrams; n > 1
+    hashes every distinct n-token window (the classic shingling that makes
+    MinHash sensitive to local word ORDER, not just vocabulary overlap)."""
+    toks = F.split(F.col(text_col), " ")
+    if shingle <= 1:
+        return F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle)),
     )
+    return F.transform(F.array_distinct(grams), lambda g: F.xxhash64(g))
 
 
 def minhash_signatures(
-    docs: DataFrame, num_hashes: int = 64, text_col: str = "text", seed: int = 42
+    docs: DataFrame, num_hashes: int = 64, text_col: str = "text", seed: int = 42,
+    shingle: int = 1,
 ) -> DataFrame:
-    """(doc_id, sig: array<long>) — MinHash over unigram shingles.
+    """(doc_id, sig: array<long>) — MinHash over word ``shingle``-grams
+    (1 = unigram vocabulary overlap; ≥2 = order-sensitive shingling).
 
     Token hashes come pre-computed from the JVM (xxhash64); the kernel is
     one (H × T) universal-hash matrix min per Arrow batch. Arithmetic wraps
@@ -128,7 +139,7 @@ def minhash_signatures(
         return pd.Series(sigs)
 
     return docs.select(
-        "doc_id", sig_udf(_token_hash_col(text_col)).alias("sig")
+        "doc_id", sig_udf(_token_hash_col(text_col, shingle)).alias("sig")
     )
 
 
@@ -138,6 +149,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     text_col: str = "text",
     seed: int = 42,
+    shingle: int = 1,
 ) -> DataFrame:
     """(a, b) candidate near-dup pairs via LSH banding.
 
@@ -146,7 +158,7 @@ def minhash_lsh_candidates(
     an equi-join on (band, bucket) — no cross-join at any scale.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, text_col, seed)
+    sigs = minhash_signatures(docs, num_hashes, text_col, seed, shingle)
     banded = sigs.select(
         "doc_id",
         F.explode(

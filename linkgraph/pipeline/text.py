@@ -19,6 +19,28 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer shape, restricted to constructs that behave
+# identically in Java regex (Spark) and RE2 (DuckDB oracle): a run of
+# letters, a run of digits, or a run of other non-space symbols, each with
+# an optional leading space. No lookahead, no \p classes.
+BPE_ISH_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def token_counts(
+    docs: DataFrame, text_col: str = "text", pattern: str = BPE_ISH_PATTERN
+) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens) — whitespace count plus a
+    BPE-style pre-tokenizer count (`regexp_extract_all`, JVM-side): the
+    per-document token-budget estimate an LLM-data pipeline bills by."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, stop_ratio, avg_token_len) — length/stopword heuristics."""
     toks = F.split(F.col(text_col), " ")

@@ -717,6 +717,25 @@ SELECT md5(text) AS text_hash, COUNT(*) AS cnt, MIN(doc_id) AS rep_id
 FROM documents GROUP BY md5(text)"""
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-style pre-tokenizer counts (regexp_extract_all,
+    JVM-side; pattern restricted to Java-regex ∩ RE2 so the DuckDB oracle
+    tokenizes identically)."""
+    from linkgraph.pipeline.text import token_counts
+
+    return token_counts(load_documents(spark, sf_dir))
+
+
+def sql_token_counts() -> str:
+    from linkgraph.pipeline.text import BPE_ISH_PATTERN
+
+    return f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT) AS n_bpe_tokens
+FROM documents"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.pipeline.text import token_stats
 
@@ -2117,6 +2136,7 @@ QUERIES = {
     "emb_pearson_procs": q_emb_pearson_procs,
     "rel_dedup_minmax": q_rel_dedup_minmax,
     "stream_dedup": q_stream_dedup,
+    "token_counts": q_token_counts,
     # rows-only (no SQL-expressible oracle: hashing/UDF/iterative-internal)
     "doc_betweenness": q_doc_betweenness,
     "doc_louvain": q_doc_louvain,
@@ -2200,4 +2220,5 @@ ORACLES = {
     "doc_scc": sql_doc_scc(),
     "emb_near_dup": sql_emb_near_dup(),
     "stream_dedup": sql_stream_dedup(),
+    "token_counts": sql_token_counts(),
 }

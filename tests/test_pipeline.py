@@ -90,6 +90,35 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (3, 5) not in cands  # disjoint docs don't
 
 
+def test_minhash_shingles_are_order_sensitive(spark):
+    """Same vocabulary, scrambled word order: unigram MinHash sees ~1.0
+    similarity; 3-gram shingled MinHash must see it as different."""
+    from linkgraph.pipeline.dedup import minhash_signatures
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    scrambled = [words[(i * 7) % 10] for i in range(10)]  # permutation
+    docs = _docs(spark, [" ".join(words), " ".join(scrambled)])
+
+    def sim(shingle):
+        sigs = {r["doc_id"]: np.array(r["sig"]) for r in
+                minhash_signatures(docs, num_hashes=128, shingle=shingle).collect()}
+        return float(np.mean(sigs[0] == sigs[1]))
+
+    assert sim(1) == pytest.approx(1.0)  # identical vocabulary
+    assert sim(3) < 0.3                  # almost no shared 3-gram windows
+
+
+def test_token_counts_bpe_ish(spark):
+    from linkgraph.pipeline.text import token_counts
+
+    docs = _docs(spark, ["hello, world42!", "a b"])
+    got = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+           for r in token_counts(docs).collect()}
+    # "hello, world42!" → ws: 2; bpe-ish: hello / , / ' world' / 42 / ! = 5
+    assert got[0] == (2, 5)
+    assert got[1] == (2, 2)
+
+
 def test_simhash_identity_and_locality(spark):
     from linkgraph.pipeline.dedup import simhash64
 
