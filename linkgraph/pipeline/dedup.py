@@ -82,6 +82,34 @@ def token_jaccard_pairs(
     return sim.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
 
 
+def near_duplicate_clusters(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(doc_id, cluster, is_representative) — the end-to-end dedup step a
+    training-data pipeline actually runs: near-dup PAIRS (inverted-index
+    Jaccard; swap in minhash_lsh_candidates + exact verify at corpus
+    scale) → connected components over the pair graph (distributed WCC) →
+    keep the min-id representative per cluster. Every stage is the
+    shuffle-friendly formulation; nothing touches the driver."""
+    from linkgraph.algorithms.wcc import wcc
+    from linkgraph.graph import Graph
+
+    pairs = token_jaccard_pairs(docs, threshold, text_col, max_doc_freq)
+    g = Graph.from_edges(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        nodes=docs.select(F.col("doc_id").alias("id")),
+    )
+    comp = wcc(g)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster"),
+        (F.col("id") == F.col("component")).alias("is_representative"),
+    )
+
+
 _MERSENNE = (1 << 61) - 1
 
 

@@ -820,6 +820,46 @@ sim AS (
 SELECT a, b, jaccard FROM sim WHERE jaccard >= 0.8"""
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → WCC → per-cluster representative, oracle-checked
+    against an unrolled min-propagation closure over the SQL pair graph."""
+    from linkgraph.pipeline.dedup import near_duplicate_clusters
+
+    return near_duplicate_clusters(load_documents(spark, sf_dir), threshold=0.8)
+
+
+def sql_dedup_clusters(rounds: int = 6) -> str:
+    parts = ["""
+WITH dtok AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u),
+dcnt AS MATERIALIZED (SELECT doc_id, COUNT(*) AS c FROM dtok GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+  FROM dtok x JOIN dtok y ON x.tok = y.tok AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id),
+sim AS (
+  SELECT i.a, i.b, ROUND(CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i), 5) AS jaccard
+  FROM inter i JOIN dcnt ca ON ca.doc_id = i.a JOIN dcnt cb ON cb.doc_id = i.b),
+pe AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM sim WHERE jaccard >= 0.8
+  UNION ALL SELECT b, a FROM sim WHERE jaccard >= 0.8),
+c0 AS (SELECT doc_id AS id, doc_id AS comp FROM documents)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""", n{k} AS MATERIALIZED (
+  SELECT l.id, LEAST(l.comp, COALESCE(nm.nmin, l.comp)) AS comp
+  FROM c{k - 1} l LEFT JOIN (
+    SELECT u.dst AS id, MIN(p.comp) AS nmin FROM pe u JOIN c{k - 1} p ON u.src = p.id GROUP BY u.dst
+  ) nm ON l.id = nm.id)
+, c{k} AS MATERIALIZED (
+  SELECT m.id, COALESCE(p2.comp, m.comp) AS comp
+  FROM n{k} m LEFT JOIN n{k} p2 ON m.comp = p2.id)""")
+    parts.append(f"""
+SELECT id AS doc_id, comp AS cluster, id = comp AS is_representative
+FROM c{rounds}""")
+    return "\n".join(parts)
+
+
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.pipeline.ann import cosine_topk_bruteforce
 
@@ -2137,6 +2177,7 @@ QUERIES = {
     "rel_dedup_minmax": q_rel_dedup_minmax,
     "stream_dedup": q_stream_dedup,
     "token_counts": q_token_counts,
+    "dedup_clusters": q_dedup_clusters,
     # rows-only (no SQL-expressible oracle: hashing/UDF/iterative-internal)
     "doc_betweenness": q_doc_betweenness,
     "doc_louvain": q_doc_louvain,
@@ -2221,4 +2262,5 @@ ORACLES = {
     "emb_near_dup": sql_emb_near_dup(),
     "stream_dedup": sql_stream_dedup(),
     "token_counts": sql_token_counts(),
+    "dedup_clusters": sql_dedup_clusters(),
 }

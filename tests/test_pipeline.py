@@ -90,6 +90,19 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (3, 5) not in cands  # disjoint docs don't
 
 
+def test_near_duplicate_clusters(spark):
+    """Pairs → WCC → representative: the exact-dup pair and both near-dups
+    of doc 0 collapse into one cluster keyed by min id; unrelated docs
+    stay their own representative."""
+    from linkgraph.pipeline.dedup import near_duplicate_clusters
+
+    got = {r["doc_id"]: (r["cluster"], r["is_representative"])
+           for r in near_duplicate_clusters(_docs(spark, TEXTS), threshold=0.5).collect()}
+    assert got[0] == (0, True)
+    assert got[1] == (0, False) and got[2] == (0, False) and got[4] == (0, False)
+    assert got[3] == (3, True) and got[5] == (5, True)
+
+
 def test_minhash_shingles_are_order_sensitive(spark):
     """Same vocabulary, scrambled word order: unigram MinHash sees ~1.0
     similarity; 3-gram shingled MinHash must see it as different."""
