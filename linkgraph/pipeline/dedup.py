@@ -110,6 +110,33 @@ def near_duplicate_clusters(
     )
 
 
+def embedding_duplicate_clusters(
+    emb: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **lsh_kwargs,
+) -> DataFrame:
+    """(vec_id, cluster, is_representative) — the embedding twin of
+    :func:`near_duplicate_clusters`: hyperplane-LSH near-dup pairs with
+    exact cosine recheck → distributed WCC over the pair graph → min-id
+    representative per cluster."""
+    from linkgraph.algorithms.wcc import wcc
+    from linkgraph.graph import Graph
+
+    pairs = embedding_near_duplicates(emb, threshold, id_col, vec_col, **lsh_kwargs)
+    g = Graph.from_edges(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        nodes=emb.select(F.col(id_col).alias("id")),
+    )
+    comp = wcc(g)
+    return comp.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("cluster"),
+        (F.col("id") == F.col("component")).alias("is_representative"),
+    )
+
+
 _MERSENNE = (1 << 61) - 1
 
 

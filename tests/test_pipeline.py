@@ -103,6 +103,26 @@ def test_near_duplicate_clusters(spark):
     assert got[3] == (3, True) and got[5] == (5, True)
 
 
+def test_embedding_duplicate_clusters(spark):
+    """Planted chain v≈w, w≈x (transitive near-dups) must land in ONE
+    cluster with the min id as representative."""
+    from linkgraph.pipeline.dedup import embedding_duplicate_clusters
+
+    rng = np.random.RandomState(3)
+    v = rng.normal(size=32); v /= np.linalg.norm(v)
+    w = v + 0.01 * rng.normal(size=32); w /= np.linalg.norm(w)
+    x = w + 0.01 * rng.normal(size=32); x /= np.linalg.norm(x)
+    rows = [(0, v.tolist()), (1, w.tolist()), (2, x.tolist())]
+    for j in range(20):
+        u = rng.normal(size=32)
+        rows.append((10 + j, (u / np.linalg.norm(u)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: (r["cluster"], r["is_representative"])
+           for r in embedding_duplicate_clusters(emb, threshold=0.98).collect()}
+    assert got[0] == (0, True) and got[1] == (0, False) and got[2] == (0, False)
+    assert all(got[10 + j] == (10 + j, True) for j in range(20))
+
+
 def test_minhash_shingles_are_order_sensitive(spark):
     """Same vocabulary, scrambled word order: unigram MinHash sees ~1.0
     similarity; 3-gram shingled MinHash must see it as different."""
