@@ -75,8 +75,16 @@ def _level_sync_msbfs(edges: DataFrame, assign: DataFrame, max_depth: int | None
             )
             .localCheckpoint(eager=True)
         )
-        nxt = merged.filter(F.col("bits") != 0).select("chunk", "id", "bits")
-        if nxt.isEmpty():  # cheap scan of the checkpointed table
+        # materialize the FRONTIER-sized slice too (light job: a scan of
+        # the cached merged table, no joins/shuffles) — consumers keep a
+        # reference per level, and without this every level would pin the
+        # full visited-size merged checkpoint until the end-of-run union
+        nxt = (
+            merged.filter(F.col("bits") != 0)
+            .select("chunk", "id", "bits")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
             return
         yield depth, nxt
         visited = merged.select(

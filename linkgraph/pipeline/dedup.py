@@ -82,6 +82,25 @@ def token_jaccard_pairs(
     return sim.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
 
 
+def _clusters_from_pairs(pairs: DataFrame, items: DataFrame, id_col: str) -> DataFrame:
+    """(a, b) duplicate pairs → (id_col, cluster, is_representative):
+    distributed WCC over the pair graph, min-id representative — shared
+    tail of both dedup-cluster operators."""
+    from linkgraph.algorithms.wcc import wcc
+    from linkgraph.graph import Graph
+
+    g = Graph.from_edges(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        nodes=items.select(F.col(id_col).alias("id")),
+    )
+    comp = wcc(g)
+    return comp.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("cluster"),
+        (F.col("id") == F.col("component")).alias("is_representative"),
+    )
+
+
 def near_duplicate_clusters(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -94,20 +113,8 @@ def near_duplicate_clusters(
     scale) → connected components over the pair graph (distributed WCC) →
     keep the min-id representative per cluster. Every stage is the
     shuffle-friendly formulation; nothing touches the driver."""
-    from linkgraph.algorithms.wcc import wcc
-    from linkgraph.graph import Graph
-
     pairs = token_jaccard_pairs(docs, threshold, text_col, max_doc_freq)
-    g = Graph.from_edges(
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
-        nodes=docs.select(F.col("doc_id").alias("id")),
-    )
-    comp = wcc(g)
-    return comp.select(
-        F.col("id").alias("doc_id"),
-        F.col("component").alias("cluster"),
-        (F.col("id") == F.col("component")).alias("is_representative"),
-    )
+    return _clusters_from_pairs(pairs, docs, "doc_id")
 
 
 def embedding_duplicate_clusters(
@@ -121,20 +128,8 @@ def embedding_duplicate_clusters(
     :func:`near_duplicate_clusters`: hyperplane-LSH near-dup pairs with
     exact cosine recheck → distributed WCC over the pair graph → min-id
     representative per cluster."""
-    from linkgraph.algorithms.wcc import wcc
-    from linkgraph.graph import Graph
-
     pairs = embedding_near_duplicates(emb, threshold, id_col, vec_col, **lsh_kwargs)
-    g = Graph.from_edges(
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
-        nodes=emb.select(F.col(id_col).alias("id")),
-    )
-    comp = wcc(g)
-    return comp.select(
-        F.col("id").alias(id_col),
-        F.col("component").alias("cluster"),
-        (F.col("id") == F.col("component")).alias("is_representative"),
-    )
+    return _clusters_from_pairs(pairs, emb, id_col)
 
 
 _MERSENNE = (1 << 61) - 1
@@ -161,7 +156,12 @@ def _token_hash_col(text_col: str, shingle: int = 1):
         F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle)),
     )
-    return F.transform(F.array_distinct(grams), lambda g: F.xxhash64(g))
+    # NULL text must stay NULL (→ the empty-signature sentinel), matching
+    # the unigram path — otherwise size(NULL)→-1 collapses to one ''-gram
+    # and every null-text doc becomes an LSH twin of every empty-text doc
+    return F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("array<long>")
+    ).otherwise(F.transform(F.array_distinct(grams), lambda g: F.xxhash64(g)))
 
 
 def minhash_signatures(

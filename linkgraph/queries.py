@@ -804,8 +804,7 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_jaccard_pairs(load_documents(spark, sf_dir), threshold=0.8)
 
 
-def sql_near_dup_jaccard() -> str:
-    return """
+_JACCARD_PAIRS_CTE = """
 WITH dtok AS MATERIALIZED (
   SELECT DISTINCT doc_id, tok FROM (
     SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u),
@@ -816,7 +815,11 @@ inter AS (
   GROUP BY x.doc_id, y.doc_id),
 sim AS (
   SELECT i.a, i.b, ROUND(CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i), 5) AS jaccard
-  FROM inter i JOIN dcnt ca ON ca.doc_id = i.a JOIN dcnt cb ON cb.doc_id = i.b)
+  FROM inter i JOIN dcnt ca ON ca.doc_id = i.a JOIN dcnt cb ON cb.doc_id = i.b)"""
+
+
+def sql_near_dup_jaccard() -> str:
+    return _JACCARD_PAIRS_CTE + """
 SELECT a, b, jaccard FROM sim WHERE jaccard >= 0.8"""
 
 
@@ -828,19 +831,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_duplicate_clusters(load_documents(spark, sf_dir), threshold=0.8)
 
 
-def sql_dedup_clusters(rounds: int = 6) -> str:
-    parts = ["""
-WITH dtok AS MATERIALIZED (
-  SELECT DISTINCT doc_id, tok FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u),
-dcnt AS MATERIALIZED (SELECT doc_id, COUNT(*) AS c FROM dtok GROUP BY doc_id),
-inter AS (
-  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
-  FROM dtok x JOIN dtok y ON x.tok = y.tok AND x.doc_id < y.doc_id
-  GROUP BY x.doc_id, y.doc_id),
-sim AS (
-  SELECT i.a, i.b, ROUND(CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i), 5) AS jaccard
-  FROM inter i JOIN dcnt ca ON ca.doc_id = i.a JOIN dcnt cb ON cb.doc_id = i.b),
+def sql_dedup_clusters(rounds: int = 12) -> str:
+    """Min-propagation + pointer-jumping closure over the SQL pair graph.
+    12 unrolled rounds (each ~doubles the covered distance) handle chain
+    diameters far beyond contract-scale clusters — 6 rounds provably
+    mislabeled a 200-doc sliding-window chain."""
+    parts = [_JACCARD_PAIRS_CTE + """,
 pe AS MATERIALIZED (
   SELECT a AS src, b AS dst FROM sim WHERE jaccard >= 0.8
   UNION ALL SELECT b, a FROM sim WHERE jaccard >= 0.8),
@@ -2156,12 +2152,12 @@ QUERIES = {
     "user_sim_summary": q_user_sim_summary,
     "dedup_exact": q_dedup_exact,
     "near_dup_jaccard": q_near_dup_jaccard,
-    "token_stats": q_token_stats,
+    "dedup_clusters": q_dedup_clusters,
+    "token_counts": q_token_counts,
     "language_id": q_langid,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_near_dup": q_emb_near_dup,
     "emb_cosine_procs": q_emb_cosine_procs,
-    "emb_euclidean_procs": q_emb_euclidean_procs,
     "scalar_functions": q_scalar_functions,
     "rel_dedup_sum": q_rel_dedup_sum,
     # ---- positions 51+: oracle-backed variants sharing a family above ----
@@ -2174,10 +2170,10 @@ QUERIES = {
     "quality_scores": q_quality,
     "fingerprint": q_fingerprint,
     "emb_pearson_procs": q_emb_pearson_procs,
+    "emb_euclidean_procs": q_emb_euclidean_procs,
     "rel_dedup_minmax": q_rel_dedup_minmax,
+    "token_stats": q_token_stats,
     "stream_dedup": q_stream_dedup,
-    "token_counts": q_token_counts,
-    "dedup_clusters": q_dedup_clusters,
     # rows-only (no SQL-expressible oracle: hashing/UDF/iterative-internal)
     "doc_betweenness": q_doc_betweenness,
     "doc_louvain": q_doc_louvain,

@@ -141,6 +141,21 @@ def test_minhash_shingles_are_order_sensitive(spark):
     assert sim(3) < 0.3                  # almost no shared 3-gram windows
 
 
+def test_minhash_shingle_null_text_matches_unigram_semantics(spark):
+    """NULL-text docs get the empty-signature sentinel on BOTH paths; they
+    must not LSH-collide with empty-string docs under shingling."""
+    from linkgraph.pipeline.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "real text here")], "doc_id long, text string"
+    )
+    for shingle in (1, 3):
+        sigs = {r["doc_id"]: list(r["sig"]) for r in
+                minhash_signatures(docs, num_hashes=16, shingle=shingle).collect()}
+        assert sigs[0] != sigs[1], f"null collided with empty at shingle={shingle}"
+        assert sigs[0] != sigs[2]
+
+
 def test_token_counts_bpe_ish(spark):
     from linkgraph.pipeline.text import token_counts
 
