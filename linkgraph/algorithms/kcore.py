@@ -1,0 +1,109 @@
+"""k-core decomposition — engine-added (the 3.5.x reference lacks it; the
+successor GDS library ships `gds.kcore`, same semantics).
+
+Two operators, both pure DataFrame fixpoints:
+
+* ``k_core(graph, k)`` — the maximal subgraph where every node has
+  undirected degree ≥ k, by iterative peeling: drop nodes below k,
+  recompute degrees over the survivors, repeat to fixpoint. Each round is
+  one degree aggregation + one semi-join; round count ≤ peel depth.
+* ``core_numbers(graph)`` — every node's coreness via the iterated
+  h-index (Lü et al., Nature Communications 2016): start from the degree,
+  repeatedly replace each node's estimate with the h-index of its
+  neighbors' estimates (the largest h such that ≥ h neighbors have
+  estimate ≥ h); the monotone fixpoint IS the core number. The h-index is
+  computed with a window — sort neighbor estimates descending, take
+  ``max(least(estimate, rank))`` — no per-node UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from linkgraph.graph import Graph
+
+
+def _und_edges(graph: Graph) -> DataFrame:
+    return graph.undirected_edges().filter(F.col("src") != F.col("dst")).select(
+        "src", "dst"
+    )
+
+
+def k_core(graph: Graph, k: int, max_rounds: int = 10_000) -> DataFrame:
+    """→ (id, in_core: boolean) over ALL nodes; the k-core = in_core rows."""
+    edges = _und_edges(graph).persist()
+    active = graph.nodes.select("id").localCheckpoint(eager=True)
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        deg = (
+            edges.join(active.withColumnRenamed("id", "src"), "src")
+            .join(active.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = (
+            active.join(deg, "id", "left")
+            .filter(F.coalesce("deg", F.lit(0)) >= k)
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        if keep.count() == active.count():  # both checkpointed: cheap probe
+            break
+        active = keep
+    edges.unpersist()
+    survivors = active.withColumn("in_core", F.lit(True))
+    out = (
+        graph.nodes.select("id")
+        .join(survivors, "id", "left")
+        .select("id", F.coalesce("in_core", F.lit(False)).alias("in_core"))
+    )
+    out.iterations = rounds
+    return out
+
+
+def core_numbers(graph: Graph, max_rounds: int = 100) -> DataFrame:
+    """→ (id, core: long) — coreness per node (0 for isolated nodes)."""
+    edges = _und_edges(graph).persist()
+    est = (
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("est"))
+        .localCheckpoint(eager=True)
+    )
+    win = Window.partitionBy("id").orderBy(F.desc("nbr_est"), F.asc("dst"))
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        nbr = edges.join(
+            est.select(F.col("id").alias("dst"), F.col("est").alias("nbr_est")),
+            "dst",
+        ).select(F.col("src").alias("id"), "dst", "nbr_est")
+        h = (
+            nbr.withColumn("rn", F.row_number().over(win))
+            .groupBy("id")
+            .agg(F.max(F.least(F.col("nbr_est"), F.col("rn"))).alias("h"))
+        )
+        new_est = (
+            est.join(h, "id", "left")
+            .select("id", F.least("est", F.coalesce("h", F.lit(0))).alias("est"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_est.alias("n")
+            .join(est.alias("o"), "id")
+            .filter(F.col("n.est") != F.col("o.est"))
+            .limit(1)
+            .count()
+        )
+        est = new_est
+        if changed == 0:
+            break
+    edges.unpersist()
+    out = (
+        graph.nodes.select("id")
+        .join(est, "id", "left")
+        .select("id", F.coalesce("est", F.lit(0)).cast("long").alias("core"))
+    )
+    out.iterations = rounds
+    out.did_converge = rounds < max_rounds
+    return out

@@ -21,6 +21,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "algo.closeness.dangalchev": ("linkgraph.algorithms.msbfs.dangalchev_closeness", "Dangalchev closeness"),
     "algo.betweenness": ("linkgraph.algorithms.betweenness.betweenness_centrality", "Brandes, exact or RA-Brandes sampled"),
     "algo.unionFind": ("linkgraph.algorithms.wcc.wcc", "weakly connected components (alternating large/small-star), threshold"),
+    "algo.kcore": ("linkgraph.algorithms.kcore.k_core", "k-core membership by iterative peeling (engine-added; gds.kcore analogue)"),
+    "algo.kcore.coreness": ("linkgraph.algorithms.kcore.core_numbers", "per-node core number via iterated h-index fixpoint"),
     "algo.scc": ("linkgraph.algorithms.scc.scc", "strongly connected components (forward-backward coloring)"),
     "algo.labelPropagation": ("linkgraph.algorithms.lpa.label_propagation", "seeded synchronous LPA, deterministic tie-break"),
     "algo.louvain": ("linkgraph.algorithms.louvain.louvain", "multi-level modularity optimization + coarsening"),

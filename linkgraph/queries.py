@@ -856,6 +856,60 @@ FROM c{rounds}""")
     return "\n".join(parts)
 
 
+def q_doc_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core membership over the doc graph, oracle-checked against an
+    unrolled SQL peel (each round drops nodes with degree < 3 among the
+    survivors; 24 rounds cover far beyond contract-scale peel depth)."""
+    from linkgraph.algorithms.kcore import k_core
+
+    return k_core(doc_graph(spark, sf_dir), k=3)
+
+
+def sql_doc_kcore(k: int = 3, rounds: int = 24) -> str:
+    parts = [_PROLOG]
+    parts.append(", a0 AS (SELECT doc_id AS id FROM documents)")
+    for r in range(1, rounds + 1):
+        parts.append(f""", a{r} AS MATERIALIZED (
+  SELECT d.id FROM (
+    SELECT u.src AS id, COUNT(*) AS deg FROM ue u
+    JOIN a{r - 1} s ON u.src = s.id JOIN a{r - 1} t ON u.dst = t.id
+    GROUP BY u.src) d
+  WHERE d.deg >= {k})""")
+    parts.append(f"""
+SELECT d.doc_id AS id, (c.id IS NOT NULL) AS in_core
+FROM documents d LEFT JOIN a{rounds} c ON d.doc_id = c.id""")
+    return "\n".join(parts)
+
+
+def q_doc_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreness per node via the iterated h-index fixpoint; oracle is the
+    same monotone iteration unrolled in SQL window functions (extra rounds
+    past the fixpoint are no-ops, so a generous unroll is exact)."""
+    from linkgraph.algorithms.kcore import core_numbers
+
+    return core_numbers(doc_graph(spark, sf_dir))
+
+
+def sql_doc_core_numbers(rounds: int = 16) -> str:
+    parts = [_PROLOG]
+    parts.append(""", e0 AS MATERIALIZED (
+  SELECT src AS id, COUNT(*) AS est FROM ue GROUP BY src)""")
+    for r in range(1, rounds + 1):
+        parts.append(f""", h{r} AS MATERIALIZED (
+  SELECT id, MAX(LEAST(nbr_est, rn)) AS h FROM (
+    SELECT u.src AS id, p.est AS nbr_est,
+           ROW_NUMBER() OVER (PARTITION BY u.src ORDER BY p.est DESC, u.dst ASC) AS rn
+    FROM ue u JOIN e{r - 1} p ON u.dst = p.id) x
+  GROUP BY id)
+, e{r} AS MATERIALIZED (
+  SELECT e.id, LEAST(e.est, COALESCE(h.h, 0)) AS est
+  FROM e{r - 1} e LEFT JOIN h{r} h ON e.id = h.id)""")
+    parts.append(f"""
+SELECT d.doc_id AS id, CAST(COALESCE(e.est, 0) AS BIGINT) AS core
+FROM documents d LEFT JOIN e{rounds} e ON d.doc_id = e.id""")
+    return "\n".join(parts)
+
+
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.pipeline.ann import cosine_topk_bruteforce
 
@@ -2140,13 +2194,13 @@ QUERIES = {
     "doc_subgraph_degree": q_doc_subgraph_degree,
     "stream_distinct_degree": q_stream_distinct_degree,
     "doc_betweenness_sub": q_doc_betweenness_sub,
+    "doc_kcore": q_doc_kcore,
     "doc_mst_weight": q_doc_mst_weight,
     "doc_maxst_weight": q_doc_maxst_weight,
     "doc_kspanning_stats": q_doc_kspanning_stats,
     "doc_linkpred": q_doc_linkpred,
     "doc_same_community": q_doc_same_community,
     "user_jaccard_topk": q_user_jaccard_topk,
-    "user_overlap_topk": q_user_overlap_topk,
     "user_jaccard_cutoffs": q_user_jaccard_cutoffs,
     "user_cosine_sparse": q_user_cosine_sparse,
     "user_sim_summary": q_user_sim_summary,
@@ -2171,6 +2225,8 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "emb_pearson_procs": q_emb_pearson_procs,
     "emb_euclidean_procs": q_emb_euclidean_procs,
+    "user_overlap_topk": q_user_overlap_topk,
+    "doc_core_numbers": q_doc_core_numbers,
     "rel_dedup_minmax": q_rel_dedup_minmax,
     "token_stats": q_token_stats,
     "stream_dedup": q_stream_dedup,
@@ -2259,4 +2315,6 @@ ORACLES = {
     "stream_dedup": sql_stream_dedup(),
     "token_counts": sql_token_counts(),
     "dedup_clusters": sql_dedup_clusters(),
+    "doc_kcore": sql_doc_kcore(),
+    "doc_core_numbers": sql_doc_core_numbers(),
 }
