@@ -77,6 +77,8 @@ def main() -> None:
     timed("user_cosine_sparse", Q.q_user_cosine_sparse)
     timed("doc_random_walks", Q.q_doc_random_walks)
     timed("emb_pq_topk", Q.q_emb_pq_topk)
+    timed("doc_kcore", Q.q_doc_kcore)
+    timed("dedup_clusters", Q.q_dedup_clusters)
 
     # headline: PageRank superstep throughput on the skewed power-law graph
     from linkgraph.bench_graph import cached_powerlaw_edges

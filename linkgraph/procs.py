@@ -96,6 +96,7 @@ _MEMREC_PER_ALGO = {
     "triangleCount": (2 * 8, 3 * 8),
     "louvain": (4 * 8, 3 * 8),
     "betweenness": (4 * 8, 2 * 8),
+    "kcore": (2 * 8, 2 * 2 * 8),        # est/core labels / symmetric edges
 }
 
 
