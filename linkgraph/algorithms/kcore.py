@@ -33,7 +33,9 @@ def k_core(graph: Graph, k: int, max_rounds: int = 10_000) -> DataFrame:
     """→ (id, in_core: boolean) over ALL nodes; the k-core = in_core rows."""
     edges = _und_edges(graph).persist()
     active = graph.nodes.select("id").localCheckpoint(eager=True)
+    n_active = active.count()
     rounds = 0
+    converged = False
     while rounds < max_rounds:
         rounds += 1
         deg = (
@@ -48,9 +50,11 @@ def k_core(graph: Graph, k: int, max_rounds: int = 10_000) -> DataFrame:
             .select("id")
             .localCheckpoint(eager=True)
         )
-        if keep.count() == active.count():  # both checkpointed: cheap probe
+        n_keep = keep.count()  # one job/round; prior count carried over
+        if n_keep == n_active:
+            converged = True
             break
-        active = keep
+        active, n_active = keep, n_keep
     edges.unpersist()
     survivors = active.withColumn("in_core", F.lit(True))
     out = (
@@ -59,6 +63,7 @@ def k_core(graph: Graph, k: int, max_rounds: int = 10_000) -> DataFrame:
         .select("id", F.coalesce("in_core", F.lit(False)).alias("in_core"))
     )
     out.iterations = rounds
+    out.did_converge = converged
     return out
 
 

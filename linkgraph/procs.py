@@ -90,13 +90,16 @@ _MEMREC_PER_ALGO = {
     # bytes-per-node / bytes-per-edge coefficient estimates for the Spark
     # engine's structures (rank vectors, CSR block arrays, label frames) —
     # the analogue of MemRecProc's MemoryEstimation trees (P/MemRecProc.java)
+    # keys are the post-normalization form (lowercase, dots and the
+    # 'algo' prefix stripped) so every registry name actually matches
     "pagerank": (3 * 8, 8 + 8 + 4),     # ranks+teleport+tmp / w_norm+src+code
     "unionfind": (2 * 8, 2 * 2 * 8),    # labels / symmetric star edge rows
     "labelpropagation": (2 * 8, 2 * 8),
-    "triangleCount": (2 * 8, 3 * 8),
+    "trianglecount": (2 * 8, 3 * 8),
     "louvain": (4 * 8, 3 * 8),
     "betweenness": (4 * 8, 2 * 8),
     "kcore": (2 * 8, 2 * 2 * 8),        # est/core labels / symmetric edges
+    "kcorecoreness": (2 * 8, 2 * 2 * 8),
 }
 
 

@@ -856,16 +856,22 @@ FROM c{rounds}""")
     return "\n".join(parts)
 
 
+KCORE_ROUNDS = 24
+
+
 def q_doc_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core membership over the doc graph, oracle-checked against an
-    unrolled SQL peel (each round drops nodes with degree < 3 among the
-    survivors; 24 rounds cover far beyond contract-scale peel depth)."""
+    unrolled SQL peel. BOTH sides run the same FIXED round budget
+    (KCORE_ROUNDS): the peel sequence is deterministic and post-fixpoint
+    rounds are no-ops, so Spark ≡ SQL at EVERY scale factor — whether or
+    not the fixpoint falls inside the budget (a fixed unroll alone was
+    verified wrong once the peel depth outgrew it)."""
     from linkgraph.algorithms.kcore import k_core
 
-    return k_core(doc_graph(spark, sf_dir), k=3)
+    return k_core(doc_graph(spark, sf_dir), k=3, max_rounds=KCORE_ROUNDS)
 
 
-def sql_doc_kcore(k: int = 3, rounds: int = 24) -> str:
+def sql_doc_kcore(k: int = 3, rounds: int = KCORE_ROUNDS) -> str:
     parts = [_PROLOG]
     parts.append(", a0 AS (SELECT doc_id AS id FROM documents)")
     for r in range(1, rounds + 1):
@@ -881,16 +887,22 @@ FROM documents d LEFT JOIN a{rounds} c ON d.doc_id = c.id""")
     return "\n".join(parts)
 
 
+CORE_NUM_ROUNDS = 24
+
+
 def q_doc_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Coreness per node via the iterated h-index fixpoint; oracle is the
-    same monotone iteration unrolled in SQL window functions (extra rounds
-    past the fixpoint are no-ops, so a generous unroll is exact)."""
+    """Coreness per node via the iterated h-index; BOTH sides run the same
+    FIXED round budget (CORE_NUM_ROUNDS) so the deterministic monotone
+    sequences agree at every scale factor (the sf0.1 fixpoint needs 21-24
+    rounds — a 16-round oracle disagreed on 2079/5000 nodes there). The
+    run-to-fixpoint semantics are covered by the python-peel pytest
+    goldens."""
     from linkgraph.algorithms.kcore import core_numbers
 
-    return core_numbers(doc_graph(spark, sf_dir))
+    return core_numbers(doc_graph(spark, sf_dir), max_rounds=CORE_NUM_ROUNDS)
 
 
-def sql_doc_core_numbers(rounds: int = 16) -> str:
+def sql_doc_core_numbers(rounds: int = CORE_NUM_ROUNDS) -> str:
     parts = [_PROLOG]
     parts.append(""", e0 AS MATERIALIZED (
   SELECT src AS id, COUNT(*) AS est FROM ue GROUP BY src)""")
