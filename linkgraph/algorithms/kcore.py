@@ -77,6 +77,7 @@ def core_numbers(graph: Graph, max_rounds: int = 100) -> DataFrame:
     )
     win = Window.partitionBy("id").orderBy(F.desc("nbr_est"), F.asc("dst"))
     rounds = 0
+    converged = False
     while rounds < max_rounds:
         rounds += 1
         nbr = edges.join(
@@ -102,6 +103,7 @@ def core_numbers(graph: Graph, max_rounds: int = 100) -> DataFrame:
         )
         est = new_est
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
     out = (
@@ -110,5 +112,5 @@ def core_numbers(graph: Graph, max_rounds: int = 100) -> DataFrame:
         .select("id", F.coalesce("est", F.lit(0)).cast("long").alias("core"))
     )
     out.iterations = rounds
-    out.did_converge = rounds < max_rounds
+    out.did_converge = converged
     return out

@@ -14,7 +14,10 @@ Early exit on ``tolerance`` (max |Δ| across nodes), as in 3.5.x.
 Execution re-imagined for Spark instead of the reference's shared-memory
 BSP float[] buffers:
 
-* ``strategy='csr'`` (default): per-partition CSR blocks inside Arrow UDFs
+* ``strategy='auto'`` (default): resolves per run to ``pull`` (broadcast
+  rank vector, zero shuffle) when node ids are contiguous and the vector
+  fits a memory-aware driver budget, else ``csr``.
+* ``strategy='csr'``: per-partition CSR blocks inside Arrow UDFs
   (blocks.py) — scatter is one numpy bincount per block (map-side combine),
   gather is ``groupBy(dst).agg(sum)``; at most B partial rows per target
   regardless of in-degree, so hot nodes cannot skew the shuffle.
@@ -207,9 +210,35 @@ class PageRank:
             shutil.rmtree(block_path, ignore_errors=True)
         return spark.createDataFrame(pd.DataFrame({"id": np.arange(n), "rank": p}))
 
-    # maximum rank-vector length the pull strategy will broadcast (8 B/node
-    # → ~800 MB at the default); beyond it the push/CSR shuffle path wins
+    # hard ceiling on the rank-vector length the pull strategy will broadcast;
+    # the effective cap is memory-aware (see _pull_node_cap) — this is only
+    # the upper bound when the driver is huge
     PULL_MAX_NODES = 100_000_000
+
+    @classmethod
+    def _pull_node_cap(cls, spark) -> int:
+        """Memory-aware node cap for the pull strategy.
+
+        The pull path holds the rank vector plus scratch copies (p, q, next,
+        teleport, and the serialized broadcast) driver-side — budget ~64 B per
+        node against 25 % of ``spark.driver.memory`` so auto never picks a
+        plan that OOMs the driver a csr default would have survived."""
+        mem = spark.conf.get("spark.driver.memory", None)
+        if not mem:
+            try:
+                mem = spark.sparkContext.getConf().get("spark.driver.memory", "1g")
+            except Exception:
+                mem = "1g"
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+        m = str(mem).strip().lower()
+        try:
+            if m[-1] in units:
+                mem_bytes = int(float(m[:-1]) * units[m[-1]])
+            else:
+                mem_bytes = int(float(m))
+        except (ValueError, IndexError):
+            mem_bytes = 1 << 30
+        return max(1, min(cls.PULL_MAX_NODES, int(mem_bytes * 0.25) // 64))
 
     # -------------------------------------------------------------------- run
     def run(self, graph: Graph) -> DataFrame:
@@ -219,12 +248,11 @@ class PageRank:
             # — a reused instance must re-resolve for each new graph):
             # pull = CSC blocks + one broadcast rank vector, ZERO shuffle
             # per superstep — the fast path whenever ids are contiguous and
-            # the vector fits memory; csr = push scatter +
-            # groupBy(dst).sum gather beyond that.
+            # the vector fits DRIVER memory (memory-aware cap); csr = push
+            # scatter + groupBy(dst).sum gather beyond that.
             n = _contiguous_n(graph.nodes.select("id"))
-            strategy = (
-                "pull" if n is not None and n <= self.PULL_MAX_NODES else "csr"
-            )
+            cap = self._pull_node_cap(graph.nodes.sparkSession)
+            strategy = "pull" if n is not None and n <= cap else "csr"
         self.resolved_strategy = strategy
         if strategy == "pull":
             t0 = time.time()

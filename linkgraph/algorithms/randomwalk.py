@@ -67,7 +67,11 @@ def _sorted_adjacency(path_dir: str, n: int):
     got = (indptr, np.ascontiguousarray(indices[order]))
     _SORTED_ADJ_CACHE[path_dir] = got
     if len(_SORTED_ADJ_CACHE) > 64:
+        # evict everything EXCEPT the entry just built (mirrors
+        # blocks._GLOBAL_CSR_CACHE eviction) — clearing unconditionally would
+        # re-run the O(E log E) lexsort on every subsequent batch
         _SORTED_ADJ_CACHE.clear()
+        _SORTED_ADJ_CACHE[path_dir] = got
     return got
 
 

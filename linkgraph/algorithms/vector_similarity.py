@@ -273,14 +273,18 @@ def similarity_summary(pairs: DataFrame, sim_col: str = "similarity") -> DataFra
 
 
 def write_similar_relationships(
-    pairs: DataFrame, path: str, sim_col: str = "similarity"
+    pairs: DataFrame,
+    path: str,
+    sim_col: str = "similarity",
+    rel_type: str = "SIMILAR",
 ) -> DataFrame:
-    """SimilarityExporter analogue: persist (a)-[:SIMILAR {score}]->(b) rows
-    as parquet and return the summary row."""
+    """SimilarityExporter analogue: persist (a)-[:rel_type {score}]->(b) rows
+    as parquet and return the summary row. ``rel_type`` mirrors the
+    reference's ``writeRelationshipType`` config."""
     pairs.select(
         F.col("a").alias("src"),
         F.col("b").alias("dst"),
-        F.lit("SIMILAR").alias("rel_type"),
+        F.lit(rel_type).alias("rel_type"),
         F.col(sim_col).alias("score"),
     ).write.mode("overwrite").parquet(path)
     return similarity_summary(pairs, sim_col)

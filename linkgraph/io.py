@@ -107,18 +107,32 @@ class CheckpointManager:
 
     def latest(self, fmt: str | None = None) -> tuple[int, DataFrame, dict] | None:
         """Most recent committed state. When ``fmt`` is given, refuse a
-        checkpoint whose manifest format tag is missing or different —
-        resuming under a changed payload layout would silently corrupt."""
+        checkpoint whose manifest carries an explicitly DIFFERENT format tag —
+        resuming under a changed payload layout would silently corrupt.
+        A checkpoint written before format tags existed (no ``format`` key)
+        is treated as "no resumable checkpoint" (returns None, warns) rather
+        than crashing: recomputing is always safe, crashing is a regression."""
         entries = self.entries()
         if not entries:
             return None
         rec = max(entries, key=lambda r: r["step"])
-        if fmt is not None and rec.get("format") != fmt:
-            raise ValueError(
-                f"checkpoint at {rec['path']} has format "
-                f"{rec.get('format')!r}, expected {fmt!r} — refusing to "
-                "resume from an incompatible state layout"
-            )
+        if fmt is not None:
+            tag = rec.get("format")
+            if tag is None:
+                import warnings
+
+                warnings.warn(
+                    f"checkpoint at {rec['path']} predates format tags; "
+                    f"ignoring it and recomputing (expected format {fmt!r})",
+                    stacklevel=2,
+                )
+                return None
+            if tag != fmt:
+                raise ValueError(
+                    f"checkpoint at {rec['path']} has format {tag!r}, "
+                    f"expected {fmt!r} — refusing to resume from an "
+                    "incompatible state layout"
+                )
         return rec["step"], self.spark.read.parquet(rec["path"]), rec.get("metrics", {})
 
 

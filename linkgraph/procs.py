@@ -125,11 +125,21 @@ def memrec(graph, algo: str = "pagerank", num_executors: int = 1) -> dict:
 _WRITE_MODE = {
     # procs whose `write: true` config returns the reference-style stats
     # row (algo/.../results/*) instead of the stream DataFrame
+    "algo.pageRank": "pageRank",
     "algo.unionFind": "unionFind",
     "algo.scc": "scc",
     "algo.labelPropagation": "labelPropagation",
     "algo.louvain": "louvain",
+    "algo.infoMap": "infomap",
     "algo.betweenness": "betweenness",
+    "algo.closeness": "closeness",
+    "algo.closeness.harmonic": "closeness",
+    "algo.closeness.dangalchev": "closeness",
+    "algo.triangleCount": "triangleCount",
+    "algo.kcore": "kcore",
+    "algo.kcore.coreness": "kcoreCoreness",
+    "algo.spanningTree.minimum": "spanningTree",
+    "algo.spanningTree.maximum": "spanningTree",
 }
 
 
@@ -196,4 +206,9 @@ def call(name: str, *args, **kwargs):
         return getattr(default_catalog(), method)(*args, **kwargs)
     if name == "algo.spanningTree.maximum" or name == "algo.spanningTree.kmax":
         kwargs.setdefault("maximum", True)
+    if isinstance(obj, type) and hasattr(obj, "run"):
+        # class-style algorithm (e.g. PageRank): config kwargs go to the
+        # constructor, the graph (first positional) to .run()
+        graph, rest = args[0], args[1:]
+        return obj(*rest, **kwargs).run(graph)
     return obj(*args, **kwargs)

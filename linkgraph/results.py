@@ -53,14 +53,61 @@ def _centrality_extras(result: DataFrame, col: str) -> dict:
     }
 
 
+def _triangle_extras(result: DataFrame) -> dict:
+    """TriangleProc.Result: triangleCount / averageClusteringCoefficient."""
+    row = result.agg(
+        F.sum("triangles").alias("t3"), F.avg("coefficient").alias("acc")
+    ).first()
+    return {
+        # per-node counts see each triangle at all 3 corners
+        "triangleCount": int((row["t3"] or 0) // 3),
+        "averageClusteringCoefficient": float(
+            row["acc"] if row["acc"] is not None else 0.0
+        ),
+    }
+
+
+def _kcore_extras(result: DataFrame) -> dict:
+    row = result.agg(
+        F.sum(F.col("in_core").cast("long")).alias("k"),
+    ).first()
+    return {"kCoreCount": int(row["k"] or 0)}
+
+
+def _coreness_extras(result: DataFrame) -> dict:
+    row = result.agg(F.max("core").alias("mx")).first()
+    return {"maxCoreNumber": int(row["mx"] if row["mx"] is not None else 0)}
+
+
+def _spanning_extras(result: DataFrame) -> dict:
+    """SpanningTree Result: effectiveNodeCount / totalWeight."""
+    nodes = (
+        result.select(F.col("src").alias("i"))
+        .unionByName(result.select(F.col("dst").alias("i")))
+        .distinct()
+        .count()
+    )
+    row = result.agg(F.sum("weight").alias("w")).first()
+    return {
+        "effectiveNodeCount": int(nodes),
+        "totalWeight": float(row["w"] if row["w"] is not None else 0.0),
+    }
+
+
 # algo key → (callable path on the result, extras fn)
 _EXTRAS = {
     "unionFind": lambda r: _component_extras(r, "component"),
     "scc": lambda r: _component_extras(r, "component"),
     "labelPropagation": lambda r: _component_extras(r, "label"),
     "louvain": lambda r: _component_extras(r, "community"),
+    "infomap": lambda r: _component_extras(r, "community"),
     "betweenness": lambda r: _centrality_extras(r, "centrality"),
+    "closeness": lambda r: _centrality_extras(r, "centrality"),
     "pageRank": lambda r: _centrality_extras(r, "rank"),
+    "triangleCount": _triangle_extras,
+    "kcore": _kcore_extras,
+    "kcoreCoreness": _coreness_extras,
+    "spanningTree": _spanning_extras,
 }
 
 
@@ -110,6 +157,9 @@ def run_write_proc(
     modularity = getattr(result, "final_modularity", None)
     if modularity is not None:
         row["modularity"] = float(modularity)
+    codelength = getattr(result, "codelength", None)
+    if codelength is not None:
+        row["codelength"] = float(codelength)
     extras_fn = _EXTRAS.get(algo)
     if extras_fn is not None:
         row.update(extras_fn(result))

@@ -171,11 +171,12 @@ def test_checkpoint_format_mismatch_refused(spark, tmp_path):
     # different format refuses
     with pytest.raises(ValueError, match="refusing to resume"):
         ck.latest(fmt="wcc/edges-v2")
-    # untagged legacy checkpoint also refuses when a format is expected
+    # untagged legacy checkpoint is IGNORED (recompute), not a crash —
+    # r3 ADVICE: crashing on pre-tag checkpoints was a behavior regression
     ck2 = CheckpointManager(spark, str(tmp_path / "ck2"))
     ck2.write(df, 1)
-    with pytest.raises(ValueError, match="refusing to resume"):
-        ck2.latest(fmt="wcc/edges-v2")
+    with pytest.warns(UserWarning, match="predates format tags"):
+        assert ck2.latest(fmt="wcc/edges-v2") is None
     # and untagged read of untagged checkpoint still works
     assert ck2.latest()[0] == 1
 

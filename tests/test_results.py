@@ -123,6 +123,79 @@ def test_procs_call_write_mode(spark, tmp_path):
         procs.call("algo.bfs.stream", g, 0, write=True)
 
 
+def test_triangle_stats_row(spark):
+    from linkgraph.algorithms.triangles import triangle_count
+
+    g = _graph(spark, direction="BOTH")
+    r = _row(run_write_proc("triangleCount", g, triangle_count))
+    assert r["triangleCount"] == 2  # the two 3-cycles
+    assert 0.0 < r["averageClusteringCoefficient"] <= 1.0
+
+
+def test_closeness_stats_row(spark):
+    from linkgraph import procs
+
+    g = _graph(spark, direction="BOTH")
+    r = _row(procs.call("algo.closeness", g, write=True))
+    assert r["maxCentrality"] >= r["minCentrality"] > 0.0
+
+
+def test_kcore_stats_rows(spark):
+    from linkgraph import procs
+
+    g = _graph(spark, direction="BOTH")
+    r = _row(procs.call("algo.kcore", g, 2, write=True))
+    # node 6 peels off (degree 1); the remaining six survive at k=2
+    assert r["kCoreCount"] == 6
+    assert r["didConverge"] is True
+    r2 = _row(procs.call("algo.kcore.coreness", g, write=True))
+    assert r2["maxCoreNumber"] == 2
+    assert r2["didConverge"] is True
+
+
+def test_infomap_stats_row(spark):
+    from linkgraph import procs
+
+    g = _graph(spark, direction="BOTH")
+    r = _row(procs.call("algo.infoMap", g, write=True))
+    assert r["setCount"] >= 1
+    assert "codelength" in r and r["codelength"] > 0.0
+
+
+def test_spanning_tree_stats_row(spark):
+    from linkgraph import procs
+
+    g = _graph(spark)
+    r = _row(procs.call("algo.spanningTree.minimum", g, write=True))
+    assert r["effectiveNodeCount"] == 7
+    assert r["totalWeight"] == pytest.approx(6.0)  # 6 unit-weight tree edges
+
+
+def test_pagerank_call_write_mode(spark):
+    """ADVICE r3: call('algo.pageRank', g, write=True) must work — the
+    registry entry is a class, dispatched constructor(kwargs) + .run(graph)."""
+    from linkgraph import procs
+
+    g = _graph(spark)
+    r = _row(procs.call("algo.pageRank", g, write=True, max_iterations=5,
+                        strategy="join"))
+    assert r["sumCentrality"] > 0.0
+    assert r["iterations"] >= 1
+
+
+def test_similarity_writer_rel_type(spark, tmp_path):
+    from linkgraph.algorithms.vector_similarity import write_similar_relationships
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8)], ["a", "b", "similarity"]
+    )
+    out = str(tmp_path / "sims")
+    summary = write_similar_relationships(pairs, out, rel_type="NEAR_DUP")
+    assert summary.first()["similarityPairs"] == 2
+    written = spark.read.parquet(out)
+    assert {r["rel_type"] for r in written.collect()} == {"NEAR_DUP"}
+
+
 def test_betweenness_stats_row(spark, tmp_path):
     from linkgraph.algorithms.betweenness import betweenness_centrality
 
