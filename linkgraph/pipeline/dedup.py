@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
 
@@ -33,21 +33,34 @@ def token_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     max_doc_freq: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """(a, b, jaccard) for unordered doc pairs with unigram-set Jaccard ≥ t.
 
-    Inverted-index formulation: explode distinct tokens, equi-join on token,
-    count intersections, |∪| from per-doc distinct counts. No cross-join —
-    cost is Σ_token df(token)². ``max_doc_freq`` drops tokens whose document
-    frequency exceeds the cutoff BEFORE the join: at corpus scale one
-    stopword token otherwise dominates the whole sum (df² blow-up). With a
-    cutoff, BOTH intersection and union are computed over the FILTERED
-    vocabulary (consistent jaccard on the restricted token space — union
-    sizes from unfiltered counts would understate every pair containing a
-    dropped token); pairs sharing only dropped tokens are missed — standard
-    prefix-filter trade-off; at high thresholds route through
-    minhash_lsh_candidates first and use this as the exact verifier.
+    Two exact strategies (identical output):
+
+    * ``prefix`` — AllPairs/SSJoin prefix filtering (Bayardo et al., WWW'07;
+      Chaudhuri et al., ICDE'06): a pair with Jaccard ≥ t must share a token
+      among each doc's ``|x| − ⌈t·|x|⌉ + 1`` RAREST tokens (global df-asc
+      order), so the inverted-index join runs only over those prefixes, plus
+      the length filter ``t·|x| ≤ |y| ≤ |x|/t``; survivors are exact-verified
+      with one array_intersect. Cost is Σ_token prefix-df(token)² — stopwords
+      never enter the join, which is what makes this the 100 TB shape. Exact
+      at every scale (recall 1 — no LSH miss probability).
+    * ``index`` — plain inverted-index join over ALL tokens; cost
+      Σ_token df(token)². Used when ``max_doc_freq`` is set: the cutoff
+      drops tokens with df > cutoff BEFORE the join and BOTH intersection
+      and union are computed over the FILTERED vocabulary (consistent
+      jaccard on the restricted token space); pairs sharing only dropped
+      tokens are missed — the documented cutoff trade-off.
+
+    ``auto`` = prefix when no cutoff is requested, else index.
     """
+    if strategy == "auto":
+        strategy = "index" if max_doc_freq is not None else "prefix"
+    if strategy == "prefix":
+        cand = _prefix_filter_candidates(docs, threshold, text_col)
+        return _verify_jaccard_pairs(docs, cand, threshold, text_col)
     dtok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
     ).persist()
@@ -82,6 +95,80 @@ def token_jaccard_pairs(
     return sim.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
 
 
+def _prefix_filter_candidates(
+    docs: DataFrame, threshold: float, text_col: str
+) -> DataFrame:
+    """(a, b) candidate pairs containing EVERY pair with Jaccard ≥ threshold.
+
+    Prefix-filter theorem: under any global token total order, if
+    |x∩y| ≥ α then the first |x|−α+1 tokens of x and the first |y|−α+1 of y
+    share an element (the order-minimal common token). Jaccard ≥ t gives
+    α = ⌈t·|x|⌉ per side (i ≥ t·|x∪y| ≥ t·max(|x|,|y|)), so joining only
+    each doc's df-ascending prefix is lossless; the length filter
+    |y| ≥ ⌈t·|x|⌉ (both ways) prunes the rest."""
+    dtok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
+    )
+    dfreq = dtok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    dcnt = dtok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    # global total order (df asc, tok asc) → per-doc rank → keep the prefix
+    win = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
+    prefix = (
+        dtok.join(dfreq, "tok")
+        .withColumn("rn", F.row_number().over(win))
+        .join(dcnt, "doc_id")
+        .filter(F.col("rn") <= F.col("c") - F.ceil(F.lit(threshold) * F.col("c")) + 1)
+        .select("doc_id", "tok", "c")
+    )
+    a = prefix.select(F.col("doc_id").alias("a"), "tok", F.col("c").alias("ca"))
+    b = prefix.select(F.col("doc_id").alias("b"), "tok", F.col("c").alias("cb"))
+    # explicit numbered repartition before the dedup: AQE coalesces the tiny
+    # upstream shuffles (df table, window) to 1-2 partitions, and broadcast
+    # joins propagate that collapse into the EXPANSIVE stages (token join →
+    # candidate dedup → array_intersect verify), serializing them. A
+    # REPARTITION_BY_NUM shuffle is exempt from AQE coalescing and restores
+    # full parallelism for everything downstream (measured 6× at sf0.1).
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        a.join(b, "tok")
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (F.col("cb") >= F.ceil(F.lit(threshold) * F.col("ca")))
+            & (F.col("ca") >= F.ceil(F.lit(threshold) * F.col("cb")))
+        )
+        .select("a", "b")
+        .repartition(par, "a", "b")
+        .dropDuplicates()
+    )
+
+
+def _verify_jaccard_pairs(
+    docs: DataFrame, cand: DataFrame, threshold: float, text_col: str
+) -> DataFrame:
+    """Exact unigram-Jaccard on candidate (a, b) pairs only — one
+    array_intersect per pair, zero false positives. Same rounding as the
+    full inverted-index path, so the two strategies are value-identical."""
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split(F.col(text_col), " ")).alias("t")
+    )
+    j = (
+        cand.select("a", "b")
+        .join(toks.select(F.col("doc_id").alias("a"), F.col("t").alias("ta")), "a")
+        .join(toks.select(F.col("doc_id").alias("b"), F.col("t").alias("tb")), "b")
+    )
+    i = F.size(F.array_intersect("ta", "tb"))
+    return (
+        j.select(
+            "a",
+            "b",
+            F.round(
+                i.cast("double") / (F.size("ta") + F.size("tb") - i), 5
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def _clusters_from_pairs(pairs: DataFrame, items: DataFrame, id_col: str) -> DataFrame:
     """(a, b) duplicate pairs → (id_col, cluster, is_representative):
     distributed WCC over the pair graph, min-id representative — shared
@@ -89,8 +176,14 @@ def _clusters_from_pairs(pairs: DataFrame, items: DataFrame, id_col: str) -> Dat
     from linkgraph.algorithms.wcc import wcc
     from linkgraph.graph import Graph
 
+    # materialize the pair list ONCE before the WCC fixpoint — the pair plan
+    # (prefix join + verify) is expensive and WCC's setup + first rounds
+    # would otherwise re-evaluate it several times
+    edge_list = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).localCheckpoint(eager=True)
     g = Graph.from_edges(
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        edge_list,
         nodes=items.select(F.col(id_col).alias("id")),
     )
     comp = wcc(g)
@@ -106,14 +199,16 @@ def near_duplicate_clusters(
     threshold: float = 0.8,
     text_col: str = "text",
     max_doc_freq: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """(doc_id, cluster, is_representative) — the end-to-end dedup step a
-    training-data pipeline actually runs: near-dup PAIRS (inverted-index
-    Jaccard; swap in minhash_lsh_candidates + exact verify at corpus
-    scale) → connected components over the pair graph (distributed WCC) →
-    keep the min-id representative per cluster. Every stage is the
-    shuffle-friendly formulation; nothing touches the driver."""
-    pairs = token_jaccard_pairs(docs, threshold, text_col, max_doc_freq)
+    training-data pipeline actually runs: near-dup PAIRS (prefix-filtered
+    exact Jaccard by default — stopwords never enter the join, so no
+    df² term survives at corpus scale) → connected components over the
+    pair graph (distributed WCC) → keep the min-id representative per
+    cluster. Every stage is the shuffle-friendly formulation; nothing
+    touches the driver."""
+    pairs = token_jaccard_pairs(docs, threshold, text_col, max_doc_freq, strategy)
     return _clusters_from_pairs(pairs, docs, "doc_id")
 
 

@@ -68,6 +68,49 @@ def test_token_jaccard_max_doc_freq_prunes_stopwords(spark):
     assert (0, 1) in pairs and (0, 2) in pairs
 
 
+def test_token_jaccard_prefix_vs_index_parity(spark):
+    """r3 VERDICT task 1: the prefix-filtered (AllPairs) strategy must be
+    VALUE-identical to the full inverted-index join — exact recall 1, at
+    every threshold, including edge cases (empty text, single-token docs,
+    identical docs, a transitive near-dup chain)."""
+    from linkgraph.pipeline.dedup import token_jaccard_pairs
+
+    chain = [
+        "a b c d e f g h i j",
+        "a b c d e f g h i k",   # ≈ doc 0 (9/11)
+        "a b c d e f g h l k",   # ≈ doc 1, farther from doc 0
+        "z y x w v u t s r q",
+        "",                       # empty text → [''] singleton token
+        "",
+        "solo",                   # single token
+        "solo",
+    ]
+    docs = _docs(spark, chain + TEXTS)
+    for t in (0.3, 0.5, 0.8, 1.0):
+        px = {(r["a"], r["b"]): r["jaccard"]
+              for r in token_jaccard_pairs(docs, t, strategy="prefix").collect()}
+        ix = {(r["a"], r["b"]): r["jaccard"]
+              for r in token_jaccard_pairs(docs, t, strategy="index").collect()}
+        assert px == ix, f"strategy mismatch at threshold {t}"
+    # auto (no cutoff) routes to prefix and matches brute force
+    got = {(r["a"], r["b"]): r["jaccard"]
+           for r in token_jaccard_pairs(docs, 0.5).collect()}
+    assert got == _brute_jaccard(chain + TEXTS, 0.5)
+
+
+def test_token_jaccard_prefix_null_text(spark):
+    from linkgraph.pipeline.dedup import token_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, None), (3, None)],
+        "doc_id long, text string",
+    )
+    for strat in ("prefix", "index"):
+        pairs = {(r["a"], r["b"])
+                 for r in token_jaccard_pairs(docs, 0.5, strategy=strat).collect()}
+        assert pairs == {(0, 1)}, f"null-text docs must pair with nothing ({strat})"
+
+
 def test_minhash_identical_docs_identical_sigs(spark):
     from linkgraph.pipeline.dedup import minhash_signatures
 
