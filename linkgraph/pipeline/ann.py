@@ -418,22 +418,28 @@ def _adc_topk(
 
     @pandas_udf("double")
     def adc(qvs: pd.Series, codes: pd.Series, cells: pd.Series) -> pd.Series:
+        # group the Arrow batch by (query, cell): ONE LUT build + ONE fancy-
+        # index gather scores every code row of the group — the per-row
+        # Python work is only the group-key pass (r3 VERDICT task 2; the old
+        # scorer looped interpreted Python per (query, code) pair)
         out = np.empty(len(qvs))
-        lut_cache: dict = {}
         cd = np.array(codes.tolist(), dtype=np.int64)
         qarr = np.array(qvs.tolist(), dtype=np.float64)
         cl = cells.to_numpy(np.int64)
+        groups: dict = {}
         for i in range(len(qarr)):
             key = (qarr[i].tobytes(), int(cl[i]) if cent is not None else 0)
-            lut = lut_cache.get(key)
-            if lut is None:
-                q = qarr[i] - cent[cl[i]] if cent is not None else qarr[i]
-                lut = np.empty((n_sub, k_cent))
-                for m in range(n_sub):
-                    qs = q[m * sub : (m + 1) * sub]
-                    lut[m] = ((books[m] - qs[None, :]) ** 2).sum(axis=1)
-                lut_cache[key] = lut
-            out[i] = lut[np.arange(n_sub), cd[i]].sum()
+            groups.setdefault(key, []).append(i)
+        rows = np.arange(n_sub)
+        for (qb, cell), idx in groups.items():
+            q = np.frombuffer(qb, dtype=np.float64)
+            if cent is not None:
+                q = q - cent[cell]
+            # (M, k_cent) LUT in one broadcast op (same math/order as the
+            # per-subspace loop → bit-identical scores)
+            lut = ((books - q.reshape(n_sub, 1, sub)) ** 2).sum(axis=2)
+            ii = np.asarray(idx, dtype=np.int64)
+            out[ii] = lut[rows[None, :], cd[ii]].sum(axis=1)
         return pd.Series(out)
 
     cell_col = F.col("cell") if residual else F.lit(0)
