@@ -49,8 +49,7 @@ def _decode_stub(payload: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic fake decode: payload bytes → (h, w) uint8 'pixels'.
 
     Real implementation would be `PIL.Image.open(io.BytesIO(payload))`;
-    not available in this container (NotImplementedError on request via
-    decode_real=True).
+    not available in this container (see :func:`_decode_real`).
     """
     raw = np.frombuffer(payload, dtype=np.uint8)
     need = width * height
@@ -58,19 +57,38 @@ def _decode_stub(payload: bytes, width: int, height: int) -> np.ndarray:
     return tiled.reshape(height, width)
 
 
-def extract_features(media: DataFrame, decode_real: bool = False) -> DataFrame:
-    """(media_id, kind, mean_px, std_px, n_bytes) — Arrow-batched decode+stats."""
-    if decode_real:
+def _decode_real(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Real image decode via PIL, probed AT CALL TIME on the executor —
+    drop-in on any cluster that has Pillow installed; raises
+    NotImplementedError only when the import actually fails."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as ex:
         raise NotImplementedError(
-            "real codecs (PIL/librosa/av) are not installed in this container; "
-            "the deterministic stub exercises the identical Spark plumbing"
-        )
+            "real codecs (PIL/librosa/av) are not installed in this "
+            "container; use decode_real=False for the deterministic stub "
+            "(identical Spark plumbing)"
+        ) from ex
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    return np.asarray(img, dtype=np.uint8)
+
+
+def extract_features(media: DataFrame, decode_real: bool = False) -> DataFrame:
+    """(media_id, kind, mean_px, std_px, n_bytes) — Arrow-batched decode+stats.
+
+    ``decode_real=True`` routes through a runtime capability probe
+    (:func:`_decode_real`): real PIL decode when importable on the worker,
+    NotImplementedError otherwise. The stub path is deterministic and
+    exercises the identical mapInPandas plumbing."""
+    decode = _decode_real if decode_real else _decode_stub
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             means, stds, sizes = [], [], []
             for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
-                px = _decode_stub(payload, int(w), int(h))
+                px = decode(payload, int(w), int(h))
                 means.append(float(px.mean()))
                 stds.append(float(px.std()))
                 sizes.append(len(payload))

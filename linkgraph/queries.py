@@ -2252,12 +2252,10 @@ QUERIES = {
     "doc_spanning_tree_max": q_doc_spanning_tree_max,
     "doc_yen": q_doc_yen,
     "doc_dfs": q_doc_dfs,
-    "doc_balanced_triads": q_doc_balanced_triads,
     "minhash_lsh_candidates": q_minhash_lsh,
     "simhash": q_simhash,
     "simhash_candidates": q_simhash_candidates,
     "emb_cosine_ivf": q_emb_cosine_ivf,
-    "emb_near_dup": q_emb_near_dup,
     "emb_pq_topk": q_emb_pq_topk,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,

@@ -23,6 +23,31 @@ def test_oracle_keys_subset_of_queries():
     assert len(QUERIES) >= 75
 
 
+def test_queries_dict_literal_has_no_duplicate_keys():
+    """A repeated key in the QUERIES/ORACLES dict literal silently drops the
+    later entry (first wins in the merged dict, so the runtime object can't
+    reveal it) — parse the source with ast and assert uniqueness."""
+    import ast
+    import inspect
+
+    import linkgraph.queries as Q
+
+    tree = ast.parse(inspect.getsource(Q))
+    checked = 0
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Assign) or not isinstance(node.value, ast.Dict):
+            continue
+        names = [t.id for t in node.targets if isinstance(t, ast.Name)]
+        if not any(n in ("QUERIES", "ORACLES") for n in names):
+            continue
+        checked += 1
+        keys = [k.value for k in node.value.keys
+                if isinstance(k, ast.Constant) and isinstance(k.value, str)]
+        dupes = sorted({k for k in keys if keys.count(k) > 1})
+        assert not dupes, f"duplicate keys in {names}: {dupes}"
+    assert checked == 2
+
+
 def test_every_oracle_plans_in_duckdb(con):
     from linkgraph.queries import ORACLES
 
