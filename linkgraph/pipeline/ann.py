@@ -132,32 +132,50 @@ def train_ivf_centroids_distributed(
         chosen.append(int(d.argmax()))
     cent = pool[chosen].copy()
 
+    n_cells, dim = cent.shape
     for _ in range(iters):
         c = cent
 
-        @pandas_udf("struct<cell:int, nv:array<double>>")
-        def assign_norm(vecs: pd.Series) -> pd.DataFrame:
-            x = np.array(vecs.tolist(), dtype=np.float64)
-            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-            cells = (x @ c.T).argmax(axis=1).astype(np.int32)
-            return pd.DataFrame({"cell": cells, "nv": list(x)})
-
-        agg = (
-            corpus.select(assign_norm(F.col(vec_col)).alias("s"))
-            .select(F.col("s.cell").alias("cell"), F.col("s.nv").alias("nv"))
-            .groupBy("cell")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.array(
-                    *[F.sum(F.element_at("nv", i + 1)) for i in range(cent.shape[1])]
-                ).alias("vsum"),
+        def partials(batches):
+            # ONE (cells × dim) accumulator per PARTITION: assignment and the
+            # map-side combine happen in the same numpy pass, and each
+            # partition emits at most num_cells skinny rows — the planner
+            # sees 3 columns instead of `dim` codegen'd sum() expressions
+            # (the old per-dimension F.sum(element_at) fan-out was 768
+            # aggregate exprs per iteration at dim 768)
+            counts = np.zeros(n_cells, dtype=np.int64)
+            sums = np.zeros((n_cells, dim), dtype=np.float64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.array(pdf["v"].tolist(), dtype=np.float64)
+                x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+                cells = (x @ c.T).argmax(axis=1)
+                np.add.at(counts, cells, 1)
+                np.add.at(sums, cells, x)
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "cell": nz.astype(np.int32),
+                    "n": counts[nz],
+                    "vsum": list(sums[nz]),
+                }
             )
-            .collect()
+
+        rows = (
+            corpus.select(F.col(vec_col).alias("v"))
+            .mapInPandas(partials, schema="cell int, n long, vsum array<double>")
+            .collect()  # ≤ partitions × num_cells skinny rows
         )
-        for row in agg:
-            if row["n"]:
-                v = np.array(row["vsum"]) / row["n"]
-                cent[row["cell"]] = v / max(np.linalg.norm(v), 1e-12)
+        counts = np.zeros(n_cells, dtype=np.int64)
+        sums = np.zeros((n_cells, dim), dtype=np.float64)
+        for r in rows:
+            counts[r["cell"]] += r["n"]
+            sums[r["cell"]] += np.asarray(r["vsum"])
+        for j in range(n_cells):
+            if counts[j]:
+                v = sums[j] / counts[j]
+                cent[j] = v / max(np.linalg.norm(v), 1e-12)
     return cent
 
 
