@@ -12,13 +12,14 @@ Two operators, both pure DataFrame fixpoints:
   repeatedly replace each node's estimate with the h-index of its
   neighbors' estimates (the largest h such that ≥ h neighbors have
   estimate ≥ h); the monotone fixpoint IS the core number. The h-index is
-  computed with a window — sort neighbor estimates descending, take
-  ``max(least(estimate, rank))`` — no per-node UDF.
+  computed from a per-node (estimate, count) histogram — map-side-combined
+  groupBy, then one JVM array fold over the desc-sorted histogram
+  (``h = max_t min(t, #nbrs ≥ t)``) — no window sort, no per-node UDF.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from linkgraph.graph import Graph
 
@@ -75,7 +76,6 @@ def core_numbers(graph: Graph, max_rounds: int = 100) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("est"))
         .localCheckpoint(eager=True)
     )
-    win = Window.partitionBy("id").orderBy(F.desc("nbr_est"), F.asc("dst"))
     rounds = 0
     converged = False
     while rounds < max_rounds:
@@ -83,11 +83,39 @@ def core_numbers(graph: Graph, max_rounds: int = 100) -> DataFrame:
         nbr = edges.join(
             est.select(F.col("id").alias("dst"), F.col("est").alias("nbr_est")),
             "dst",
-        ).select(F.col("src").alias("id"), "dst", "nbr_est")
+        ).select(F.col("src").alias("id"), "nbr_est")
+        # histogram h-index, no window sort: shrink neighbors to (est, cnt)
+        # pairs FIRST (map-side combine — shuffle volume = distinct est
+        # values per node, not degree), then h = max_t min(t, #nbrs ≥ t)
+        # over the desc-sorted value histogram via one JVM array fold.
+        # (The old Window.partitionBy(id) row_number sorted the full edge
+        # list every round — r3 VERDICT task 9.)
+        hist = nbr.groupBy("id", "nbr_est").agg(F.count(F.lit(1)).alias("cnt"))
         h = (
-            nbr.withColumn("rn", F.row_number().over(win))
-            .groupBy("id")
-            .agg(F.max(F.least(F.col("nbr_est"), F.col("rn"))).alias("h"))
+            hist.groupBy("id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("nbr_est", "cnt")), asc=False
+                ).alias("hs")
+            )
+            .select(
+                "id",
+                F.aggregate(
+                    "hs",
+                    F.struct(
+                        F.lit(0).cast("long").alias("run"),
+                        F.lit(0).cast("long").alias("best"),
+                    ),
+                    lambda acc, s: F.struct(
+                        (acc["run"] + s["cnt"]).alias("run"),
+                        F.greatest(
+                            acc["best"],
+                            F.least(s["nbr_est"], acc["run"] + s["cnt"]),
+                        ).alias("best"),
+                    ),
+                    lambda acc: acc["best"],
+                ).alias("h"),
+            )
         )
         new_est = (
             est.join(h, "id", "left")
