@@ -85,6 +85,9 @@ def _greedy_modules(p, src, dst, flow, n, max_sweeps):
     # the per-candidate loop would make each sweep O(m·n)
     q_tot = float(q_mod.sum())
 
+    def _plogp_s(x: float) -> float:
+        return x * np.log(x) if x > 0 else 0.0
+
     for _ in range(max_sweeps):
         moved = 0
         for i in range(n):
@@ -97,29 +100,36 @@ def _greedy_modules(p, src, dst, flow, n, max_sweeps):
             in_cur = inf_[self_pos] if self_pos < len(um) and um[self_pos] == cur else 0.0
             # removing i from cur: its out/in flow to cur-members becomes exit
             q_cur_without = q_mod[cur] - node_out_flow[i] + of_cur + in_cur
+            # ΔL for ALL candidate modules in one vectorized pass (the old
+            # per-candidate loop built ~6 numpy temporaries per candidate);
+            # identical arithmetic order → bit-identical gains
+            q_cur_new = q_cur_without
+            p_cur_new = p_mod[cur] - p[i]
+            q_um = q_mod[um]
+            p_um = p_mod[um]
+            q_m_new = q_um + node_out_flow[i] - of - inf_
+            p_m_new = p_um + p[i]
+            plogp_qcur = _plogp_s(q_mod[cur])
+            plogp_qcur_new = _plogp_s(q_cur_new)
+            old_terms = (
+                (plogp_qcur + _plogp(q_um)) * -2.0
+                + (_plogp_s(q_mod[cur] + p_mod[cur]) + _plogp(q_um + p_um))
+            )
+            new_terms = (
+                (plogp_qcur_new + _plogp(q_m_new)) * -2.0
+                + (_plogp_s(q_cur_new + p_cur_new) + _plogp(q_m_new + p_m_new))
+            )
+            dq = (q_cur_new + q_m_new) - (q_mod[cur] + q_um)
+            d_total = _plogp(q_tot + dq) - _plogp_s(q_tot)
+            gains = (new_terms - old_terms) + d_total
+            # selection keeps the EXACT sequential semantics (strict 1e-12
+            # improvement, ascending-module tie handling) over the gains array
             best_gain, best_mod = 0.0, cur
             for k in range(len(um)):
                 m = um[k]
                 if m == cur:
                     continue
-                # ΔL of moving i: recompute the 4 affected plogp terms
-                old_terms = (
-                    _plogp(np.array([q_mod[cur], q_mod[m]])).sum() * -2.0
-                    + _plogp(np.array([q_mod[cur] + p_mod[cur], q_mod[m] + p_mod[m]])).sum()
-                )
-                q_cur_new = q_cur_without
-                q_m_new = q_mod[m] + node_out_flow[i] - of[k] - inf_[k]
-                p_cur_new = p_mod[cur] - p[i]
-                p_m_new = p_mod[m] + p[i]
-                new_terms = (
-                    _plogp(np.array([q_cur_new, q_m_new])).sum() * -2.0
-                    + _plogp(np.array([q_cur_new + p_cur_new, q_m_new + p_m_new])).sum()
-                )
-                dq = (q_cur_new + q_m_new) - (q_mod[cur] + q_mod[m])
-                d_total = _plogp(np.array([q_tot + dq]))[0] - _plogp(
-                    np.array([q_tot])
-                )[0]
-                gain = (new_terms - old_terms) + d_total
+                gain = gains[k]
                 if gain < best_gain - 1e-12 or (
                     abs(gain - best_gain) <= 1e-12 and best_mod != cur and m < best_mod
                 ):
