@@ -28,6 +28,25 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tokenset_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(tokenset_hash, cnt, rep_id): groups docs by their DISTINCT-token SET
+    (sorted bag-of-words) — catches word-reorder and token-repeat variants
+    that byte-exact hashing misses, with the same hash-groupBy scale shape.
+    Pure whole-stage-codegen expressions (split → array_distinct →
+    sort_array → concat_ws → md5); deterministic across engines."""
+    key = F.md5(
+        F.concat_ws(
+            " ",
+            F.sort_array(F.array_distinct(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))),
+        )
+    )
+    return (
+        docs.select("doc_id", key.alias("tokenset_hash"))
+        .groupBy("tokenset_hash")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("rep_id"))
+    )
+
+
 def token_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -172,7 +191,15 @@ def _verify_jaccard_pairs(
 def _clusters_from_pairs(pairs: DataFrame, items: DataFrame, id_col: str) -> DataFrame:
     """(a, b) duplicate pairs → (id_col, cluster, is_representative):
     distributed WCC over the pair graph, min-id representative — shared
-    tail of both dedup-cluster operators."""
+    tail of both dedup-cluster operators.
+
+    One hash-min contraction round runs FIRST: label(u) = min(u, min
+    neighbor), edges relabeled through it. Near-dup components are dense
+    (often near-cliques), so this single aggregation collapses most of the
+    pair volume before the WCC fixpoint ever runs; correctness is exact —
+    it is literally round one of the hash-min recursion, and the pulled-back
+    components are unchanged (the component-minimum node labels itself, so
+    cluster ids stay min-member ids)."""
     from linkgraph.algorithms.wcc import wcc
     from linkgraph.graph import Graph
 
@@ -182,11 +209,39 @@ def _clusters_from_pairs(pairs: DataFrame, items: DataFrame, id_col: str) -> Dat
     edge_list = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).localCheckpoint(eager=True)
-    g = Graph.from_edges(
-        edge_list,
-        nodes=items.select(F.col(id_col).alias("id")),
+    sym = edge_list.unionByName(
+        edge_list.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    comp = wcc(g)
+    labels = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mv"))
+        .select(F.col("src").alias("u"), F.least("src", "mv").alias("lbl"))
+    )
+    contracted = (
+        sym.join(labels.select(F.col("u").alias("src"), F.col("lbl").alias("ls")), "src")
+        .join(labels.select(F.col("u").alias("dst"), F.col("lbl").alias("ld")), "dst")
+        .filter(F.col("ls") != F.col("ld"))
+        .select(F.col("ls").alias("src"), F.col("ld").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cnodes = contracted.select(F.col("src").alias("id")).unionByName(
+        contracted.select(F.col("dst").alias("id"))
+    ).distinct()
+    comp_c = wcc(Graph.from_edges(contracted, nodes=cnodes)).select(
+        F.col("id").alias("lbl"), "component"
+    )
+    # pull back: item → label → contracted component (label IS the component
+    # when the contracted graph dropped it as an isolated/self-loop node)
+    comp = (
+        items.select(F.col(id_col).alias("id"))
+        .join(labels.select(F.col("u").alias("id"), "lbl"), "id", "left")
+        .join(comp_c, "lbl", "left")
+        .select(
+            "id",
+            F.coalesce("component", "lbl", "id").alias("component"),
+        )
+    )
     return comp.select(
         F.col("id").alias(id_col),
         F.col("component").alias("cluster"),

@@ -717,6 +717,21 @@ SELECT md5(text) AS text_hash, COUNT(*) AS cnt, MIN(doc_id) AS rep_id
 FROM documents GROUP BY md5(text)"""
 
 
+def q_dedup_tokenset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.pipeline.dedup import tokenset_duplicates
+
+    return tokenset_duplicates(load_documents(spark, sf_dir))
+
+
+def sql_dedup_tokenset() -> str:
+    return """
+SELECT md5(array_to_string(list_sort(list_distinct(str_split(coalesce(text, ''), ' '))), ' '))
+         AS tokenset_hash,
+       COUNT(*) AS cnt, MIN(doc_id) AS rep_id
+FROM documents
+GROUP BY 1"""
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-style pre-tokenizer counts (regexp_extract_all,
     JVM-side; pattern restricted to Java-regex ∩ RE2 so the DuckDB oracle
@@ -2242,6 +2257,7 @@ QUERIES = {
     "rel_dedup_minmax": q_rel_dedup_minmax,
     "token_stats": q_token_stats,
     "stream_dedup": q_stream_dedup,
+    "dedup_tokenset": q_dedup_tokenset,
     # rows-only (no SQL-expressible oracle: hashing/UDF/iterative-internal)
     "doc_betweenness": q_doc_betweenness,
     "doc_louvain": q_doc_louvain,
@@ -2300,6 +2316,7 @@ ORACLES = {
     "doc_same_community": sql_doc_same_community(),
     "user_jaccard_topk": sql_user_jaccard_topk(),
     "dedup_exact": sql_dedup_exact(),
+    "dedup_tokenset": sql_dedup_tokenset(),
     "token_stats": sql_token_stats(),
     "quality_scores": sql_quality(),
     "language_id": sql_langid(),

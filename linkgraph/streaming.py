@@ -69,6 +69,35 @@ def stream_exact_dedup(
     return hashed.dropDuplicates(["text_hash"])
 
 
+def stream_tokenset_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    event_time_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming bag-of-words deduplication — the continuous twin of
+    ``pipeline.dedup.tokenset_duplicates``: documents whose DISTINCT token
+    set matches an already-seen one are dropped as they arrive (catches
+    word-reorder / token-repeat variants that byte-exact dedup misses).
+    The key is pure codegen (split → array_distinct → sort_array →
+    concat_ws → md5); state is watermark-bounded when an event-time column
+    is given, exactly like :func:`stream_exact_dedup`."""
+    key = F.md5(
+        F.concat_ws(
+            " ",
+            F.sort_array(
+                F.array_distinct(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
+            ),
+        )
+    )
+    hashed = docs.withColumn("tokenset_hash", key)
+    if event_time_col is not None:
+        return hashed.withWatermark(
+            event_time_col, watermark
+        ).dropDuplicatesWithinWatermark(["tokenset_hash"])
+    return hashed.dropDuplicates(["tokenset_hash"])
+
+
 def windowed_edge_degrees(
     edges: DataFrame,
     ts_col: str = "ts",

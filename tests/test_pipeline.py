@@ -593,6 +593,54 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert sorted(r["text"] for r in got_wm) == sorted(set(TEXTS))
 
 
+def test_tokenset_duplicates(spark):
+    """Bag-of-words dedup: word reorder and token repeats collapse into one
+    group; vocabulary changes do not."""
+    from linkgraph.pipeline.dedup import tokenset_duplicates
+
+    docs = _docs(spark, [
+        "the quick brown fox",
+        "fox brown quick the",          # reorder → same token set
+        "the the quick brown fox fox",  # repeats → same token set
+        "the quick brown wolf",         # different vocabulary
+        None,                           # NULL text gets its own group
+    ])
+    groups = {r["tokenset_hash"]: (r["cnt"], r["rep_id"])
+              for r in tokenset_duplicates(docs).collect()}
+    assert len(groups) == 3
+    assert (3, 0) in groups.values()   # docs 0,1,2 collapse, rep = min id
+    assert (1, 3) in groups.values()
+
+
+def test_streaming_tokenset_dedup_matches_batch(spark, tmp_path):
+    import datetime
+
+    from linkgraph.pipeline.dedup import tokenset_duplicates
+    from linkgraph.streaming import run_available_now, stream_tokenset_dedup
+
+    texts = ["a b c", "c b a", "a a b c c", "x y z", "a b"]
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(i, t, t0 + datetime.timedelta(minutes=i)) for i, t in enumerate(texts)]
+    src_dir = str(tmp_path / "ts_dedup_stream")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp"
+    ).write.parquet(src_dir)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src_dir)
+    got = run_available_now(stream_tokenset_dedup(stream), "ts_dedup_q")
+    batch_groups = tokenset_duplicates(
+        spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    ).count()
+    assert len(got) == batch_groups == 3
+    # watermark-bounded variant agrees inside the window
+    got_wm = run_available_now(
+        stream_tokenset_dedup(stream, event_time_col="ts", watermark="1 hour"),
+        "ts_dedup_wm_q",
+    )
+    assert len(got_wm) == 3
+
+
 def test_streaming_windowed_degrees(spark, tmp_path):
     import datetime
 
