@@ -188,6 +188,7 @@ def call(name: str, *args, **kwargs):
     parts = impl.split(".")
     # longest importable module prefix, then walk attributes
     obj = None
+    attrs: list[str] = []
     for cut in range(len(parts), 0, -1):
         try:
             obj = importlib.import_module(".".join(parts[:cut]))

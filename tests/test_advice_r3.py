@@ -57,6 +57,20 @@ def test_auto_strategy_respects_memory_cap(spark, monkeypatch):
     assert pr2.resolved_strategy == "pull"
 
 
+def test_auto_strategy_real_conf_path(spark):
+    """No mocks: auto resolution must read the live session's driver-memory
+    conf without raising, resolve to a valid strategy, and produce correct
+    ranks (3-cycle at damping d: rank = 1 everywhere is the fixpoint of the
+    unnormalized recurrence)."""
+    g = Graph.from_edges(edges_df(spark, [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0)]))
+    pr = PageRank(max_iterations=50, tolerance=1e-9)  # strategy defaults to auto
+    out = {r["id"]: r["rank"] for r in pr.run(g).collect()}
+    assert pr.resolved_strategy in ("pull", "csr")
+    assert all(abs(v - 1.0) < 1e-6 for v in out.values())
+    cap = PageRank._pull_node_cap(spark)
+    assert 1 <= cap <= PageRank.PULL_MAX_NODES
+
+
 # ---------------------------------------------------------------- finding 3
 def test_core_numbers_converged_on_exact_round_budget(spark):
     from linkgraph.algorithms.kcore import core_numbers
