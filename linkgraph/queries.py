@@ -813,6 +813,170 @@ def sql_fingerprint() -> str:
     return "SELECT doc_id, substr(md5(text), 1, 16) AS fp16 FROM documents"
 
 
+def _planted_pii_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministically PLANTED PII (the synthetic corpus
+    has none) so the pii_scan oracle is non-vacuous — same planted-fixture
+    pattern as emb_near_dup. The identical augmentation is expressed in
+    SQL inside sql_pii_scan."""
+    d = load_documents(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" reach user"), F.col("doc_id"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" from 192.168."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                (100 + F.col("doc_id") % 900).cast("string"),
+                F.lit("-"),
+                (1000 + F.col("doc_id") % 9000).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", aug.alias("text"))
+
+
+_PII_PLANT_SQL = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' reach user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' from 192.168.' || (doc_id % 256) || '.' || (doc_id % 100)
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' call +1-555-' || (100 + doc_id % 900) || '-' || (1000 + doc_id % 9000)
+                 ELSE '' END AS text
+  FROM documents"""
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII counts (email/IPv4/phone regexp_count, zero-shuffle
+    JVM codegen) over deterministically planted fixtures."""
+    from linkgraph.pipeline.text import pii_scan
+
+    return pii_scan(_planted_pii_text(spark, sf_dir))
+
+
+def sql_pii_scan() -> str:
+    from linkgraph.pipeline.text import PII_PATTERNS
+
+    e, i, p = PII_PATTERNS["email"], PII_PATTERNS["ipv4"], PII_PATTERNS["phone"]
+    return f"""
+WITH planted AS ({_PII_PLANT_SQL})
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{i}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_phones,
+       len(regexp_extract_all(text, '{e}')) + len(regexp_extract_all(text, '{i}'))
+         + len(regexp_extract_all(text, '{p}')) > 0 AS has_pii
+FROM planted"""
+
+
+def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document word-bigram repetition ratio (Gopher-style
+    boilerplate signal) — row-local higher-order array ops, zero shuffle."""
+    from linkgraph.pipeline.text import ngram_repetition
+
+    return ngram_repetition(load_documents(spark, sf_dir), n=2)
+
+
+def sql_ngram_repetition(n: int = 2) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {n}
+              THEN list_transform(range(1, len(t) - {n} + 2),
+                                  i -> array_to_string(t[i:i+{n}-1], ' '))
+              ELSE [] END AS g
+  FROM toks)
+SELECT doc_id,
+       CAST(len(g) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(g)) AS BIGINT) AS n_uniq_grams,
+       CASE WHEN len(g) > 0
+            THEN ROUND(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 5)
+            ELSE 0.0 END AS dup_ratio
+FROM grams"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination check: distinct word-3-gram overlap of
+    every candidate doc (doc_id % 20 != 0) against the 'benchmark' slice
+    (doc_id % 20 = 0). Benchmark grams are broadcast — eval sets are MBs
+    at any corpus scale."""
+    from linkgraph.pipeline.text import benchmark_contamination
+
+    docs = load_documents(spark, sf_dir)
+    return benchmark_contamination(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        n=3,
+    )
+
+
+def sql_contamination(n: int = 3) -> str:
+    gram_cte = f"""
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(t) >= {n}
+                THEN list_transform(range(1, len(t) - {n} + 2),
+                                    i -> array_to_string(t[i:i+{n}-1], ' '))
+                ELSE [] END)) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)"""
+    return f"""
+WITH all_grams AS MATERIALIZED ({gram_cte}),
+doc_grams AS (SELECT * FROM all_grams WHERE doc_id % 20 != 0),
+bench_grams AS (SELECT DISTINCT gram FROM all_grams WHERE doc_id % 20 = 0),
+per_doc AS (
+  SELECT d.doc_id,
+         COUNT(*) AS n_uniq_grams,
+         COUNT(b.gram) AS n_contaminated
+  FROM doc_grams d LEFT JOIN bench_grams b ON d.gram = b.gram
+  GROUP BY d.doc_id)
+SELECT doc_id,
+       CAST(COALESCE(n_uniq_grams, 0) AS BIGINT) AS n_uniq_grams,
+       CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       CASE WHEN COALESCE(n_uniq_grams, 0) > 0
+            THEN ROUND(CAST(n_contaminated AS DOUBLE) / n_uniq_grams, 5)
+            ELSE 0.0 END AS contamination_ratio
+FROM (SELECT doc_id FROM documents WHERE doc_id % 20 != 0) base
+LEFT JOIN per_doc USING (doc_id)"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source quota sample (data-mixing primitive):
+    top-10 docs per source by md5(doc_id) — content-independent
+    pseudo-random, identical in both engines."""
+    from linkgraph.pipeline.text import stratified_sample
+
+    return stratified_sample(load_documents(spark, sf_dir), "source", 10)
+
+
+def sql_stratified_sample(per_stratum: int = 10) -> str:
+    return f"""
+SELECT doc_id, source, sample_rank FROM (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS INT)
+           AS sample_rank
+  FROM documents)
+WHERE sample_rank <= {per_stratum}"""
+
+
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.pipeline.dedup import token_jaccard_pairs
 
@@ -2194,7 +2358,6 @@ QUERIES = {
     "doc_pagerank": q_doc_pagerank,
     "doc_pagerank_weighted": q_doc_pagerank_weighted,
     "doc_pagerank_personalized": q_doc_pagerank_personalized,
-    "doc_pagerank_converged": q_doc_pagerank_converged,
     "doc_article_rank": q_doc_article_rank,
     "doc_eigenvector": q_doc_eigenvector,
     "doc_sssp": q_doc_sssp,
@@ -2204,9 +2367,7 @@ QUERIES = {
     "doc_closeness": q_doc_closeness,
     "doc_closeness_wf": q_doc_closeness_wf,
     "doc_harmonic": q_doc_harmonic,
-    "doc_dangalchev": q_doc_dangalchev,
     "doc_allsp": q_doc_allsp,
-    "doc_allsp_weighted": q_doc_allsp_weighted,
     "doc_scc": q_doc_scc,
     "doc_wcc": q_doc_wcc,
     "doc_wcc_threshold": q_doc_wcc_threshold,
@@ -2223,7 +2384,6 @@ QUERIES = {
     "doc_betweenness_sub": q_doc_betweenness_sub,
     "doc_kcore": q_doc_kcore,
     "doc_mst_weight": q_doc_mst_weight,
-    "doc_maxst_weight": q_doc_maxst_weight,
     "doc_kspanning_stats": q_doc_kspanning_stats,
     "doc_linkpred": q_doc_linkpred,
     "doc_same_community": q_doc_same_community,
@@ -2241,8 +2401,16 @@ QUERIES = {
     "emb_cosine_procs": q_emb_cosine_procs,
     "scalar_functions": q_scalar_functions,
     "rel_dedup_sum": q_rel_dedup_sum,
+    "pii_scan": q_pii_scan,
+    "ngram_repetition": q_ngram_repetition,
+    "contamination": q_contamination,
+    "stratified_sample": q_stratified_sample,
     # ---- positions 51+: oracle-backed variants sharing a family above ----
     "doc_pagerank_pull": q_doc_pagerank_pull,
+    "doc_pagerank_converged": q_doc_pagerank_converged,
+    "doc_dangalchev": q_doc_dangalchev,
+    "doc_allsp_weighted": q_doc_allsp_weighted,
+    "doc_maxst_weight": q_doc_maxst_weight,
     "doc_sssp_dijkstra": q_doc_sssp_dijkstra,
     "doc_eigenvector_l1": q_doc_eigenvector_l1,
     "doc_lpa_seeded": q_doc_lpa_seeded,
@@ -2321,6 +2489,10 @@ ORACLES = {
     "quality_scores": sql_quality(),
     "language_id": sql_langid(),
     "fingerprint": sql_fingerprint(),
+    "pii_scan": sql_pii_scan(),
+    "ngram_repetition": sql_ngram_repetition(),
+    "contamination": sql_contamination(),
+    "stratified_sample": sql_stratified_sample(),
     "near_dup_jaccard": sql_near_dup_jaccard(),
     "emb_cosine_topk": sql_emb_cosine_topk(),
     "emb_cosine_procs": sql_emb_cosine_procs(),

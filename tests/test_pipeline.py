@@ -544,6 +544,79 @@ def test_text_ops_schema(spark):
     assert len({r["fp16"] for r in fp}) == 5  # exact dups share a fingerprint
 
 
+def test_pii_scan_counts(spark):
+    from linkgraph.pipeline.text import pii_scan
+
+    docs = _docs(
+        spark,
+        [
+            "mail me at a.b+c@example.com or d@sub.example.org thanks",
+            "server at 10.0.0.1 and backup 192.168.1.255",
+            "call +1-555-123-4567 today",
+            "nothing sensitive here at all",
+            "x@y.io from 8.8.8.8 call +44-020-794-0000",
+        ],
+    )
+    rows = {r["doc_id"]: r for r in pii_scan(docs).collect()}
+    assert (rows[0]["n_emails"], rows[0]["has_pii"]) == (2, True)
+    assert rows[1]["n_ipv4"] == 2
+    assert rows[2]["n_phones"] == 1
+    assert (rows[3]["n_emails"], rows[3]["n_ipv4"], rows[3]["n_phones"], rows[3]["has_pii"]) == (0, 0, 0, False)
+    assert (rows[4]["n_emails"], rows[4]["n_ipv4"], rows[4]["n_phones"]) == (1, 1, 1)
+
+
+def test_ngram_repetition_values(spark):
+    from linkgraph.pipeline.text import ngram_repetition
+
+    docs = _docs(spark, ["a b a b a", "a b c d", "x", ""])
+    rows = {r["doc_id"]: r for r in ngram_repetition(docs, n=2).collect()}
+    # "a b a b a" bigrams: [a b, b a, a b, b a] -> 4 total, 2 uniq
+    assert (rows[0]["n_grams"], rows[0]["n_uniq_grams"]) == (4, 2)
+    assert rows[0]["dup_ratio"] == 0.5
+    assert (rows[1]["n_grams"], rows[1]["n_uniq_grams"], rows[1]["dup_ratio"]) == (3, 3, 0.0)
+    assert (rows[2]["n_grams"], rows[2]["dup_ratio"]) == (0, 0.0)
+
+
+def test_benchmark_contamination(spark):
+    from linkgraph.pipeline.text import benchmark_contamination
+
+    bench = _docs(spark, ["the quick brown fox jumps"])
+    docs = _docs(
+        spark,
+        [
+            "the quick brown fox jumps over",  # grams: 4 uniq, 3 contaminated
+            "totally clean document text here",  # 3 uniq trigrams, 0 hit
+            "xy",  # too short: 0 grams
+        ],
+    )
+    rows = {r["doc_id"]: r for r in benchmark_contamination(docs, bench, n=3).collect()}
+    assert (rows[0]["n_uniq_grams"], rows[0]["n_contaminated"]) == (4, 3)
+    assert rows[0]["contamination_ratio"] == 0.75
+    assert (rows[1]["n_uniq_grams"], rows[1]["n_contaminated"]) == (3, 0)
+    assert (rows[2]["n_uniq_grams"], rows[2]["contamination_ratio"]) == (0, 0.0)
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    from linkgraph.pipeline.text import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "s%d" % (i % 3)) for i in range(60)], "doc_id long, source string"
+    )
+    out = stratified_sample(docs, "source", per_stratum=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {"s0", "s1", "s2"}
+    for rows in by_src.values():
+        assert len(rows) == 5
+        assert sorted(r["sample_rank"] for r in rows) == [1, 2, 3, 4, 5]
+    # deterministic across runs
+    out2 = stratified_sample(docs, "source", per_stratum=5).collect()
+    assert sorted((r["doc_id"], r["sample_rank"]) for r in out) == sorted(
+        (r["doc_id"], r["sample_rank"]) for r in out2
+    )
+
+
 def test_streaming_token_stats_matches_batch(spark, tmp_path):
     from linkgraph.pipeline.text import token_stats
     from linkgraph.streaming import read_document_stream, run_available_now, stream_token_stats
