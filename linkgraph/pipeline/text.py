@@ -234,3 +234,114 @@ def stratified_sample(
         docs.select(key_col, strata_col, F.row_number().over(w).alias("sample_rank"))
         .filter(F.col("sample_rank") <= per_stratum)
     )
+
+
+def quality_gate(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    max_dup_ratio: float = 0.6,
+    langs: tuple = ("en",),
+    forbid_pii: bool = True,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(doc_id, keep, fail_reason) — the composed keep/drop decision a
+    C4/RefinedWeb-style pipeline makes per document, with the FIRST failing
+    rule recorded (funnel semantics, fixed rule order: too_few_tokens →
+    too_repetitive → bad_lang → has_pii).
+
+    Pure column expressions over the signal family above — whole-stage
+    codegen, zero shuffle; the funnel report is then one groupBy(fail_reason)
+    away. `fail_reason` is '' for kept docs (never NULL, so the decision
+    column hashes identically across engines).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks).cast("long")
+    # bigram dup ratio, same row-local construction as ngram_repetition(n=2)
+    grams = F.when(
+        n_tokens >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams).cast("double")
+    dup_ratio = F.when(
+        total > 0, 1.0 - F.size(F.array_distinct(grams)).cast("double") / total
+    ).otherwise(F.lit(0.0))
+    pii_total = sum(
+        F.regexp_count(F.col(text_col), F.lit(p)) for p in PII_PATTERNS.values()
+    )
+    reason = (
+        F.when(n_tokens < min_tokens, "too_few_tokens")
+        .when(dup_ratio > max_dup_ratio, "too_repetitive")
+        .when(~F.col(lang_col).isin(list(langs)), "bad_lang")
+    )
+    if forbid_pii:
+        reason = reason.when(pii_total > 0, "has_pii")
+    reason = reason.otherwise("")
+    return docs.select(
+        "doc_id",
+        (reason == "").alias("keep"),
+        reason.alias("fail_reason"),
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame, k: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, token, tfidf, rk) — top-``k`` TF-IDF terms per document
+    (smooth idf = ln((N+1)/(df+1)) + 1), ties broken by token asc.
+
+    Scale shape: explode → two partial-aggregated groupBys (tf per
+    (doc, token); df per token) → a TOKEN-keyed hash join (df table can be
+    billions of rows at corpus scale — joined on the shuffle key, NOT
+    broadcast) → per-doc top-k window (hash-partitioned by doc, sort is
+    per-group). All JVM; tfidf rounded to 4 decimals so the value hash is
+    engine-stable.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.select("doc_id", "token").distinct().groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = docs.count()
+    scored = tf.join(df, "token").select(
+        "doc_id",
+        "token",
+        (
+            F.col("tf").cast("double")
+            * (F.log((n_docs + 1) / (F.col("df").cast("double") + 1)) + 1.0)
+        ).alias("_tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "doc_id",
+            "token",
+            F.round("_tfidf", 4).alias("tfidf"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+def mix_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(source, lang, n_docs, n_tokens, n_chars, avg_tokens) — the
+    per-(source, lang) mixture report driving data-mixing decisions.
+    One partial-aggregated groupBy; output is |sources|×|langs| rows."""
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).alias("n_tokens"),
+            F.sum(F.length(text_col).cast("long")).alias("n_chars"),
+            F.round(F.avg(n_tok), 5).alias("avg_tokens"),
+        )
+    )

@@ -844,11 +844,12 @@ def _planted_pii_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit("")),
     )
-    return d.select("doc_id", aug.alias("text"))
+    return d.select("doc_id", "lang", aug.alias("text"))
 
 
 _PII_PLANT_SQL = """
   SELECT doc_id,
+         lang,
          text
          || CASE WHEN doc_id % 7 = 0
                  THEN ' reach user' || doc_id || '@example.com' ELSE '' END
@@ -975,6 +976,96 @@ SELECT doc_id, source, sample_rank FROM (
            AS sample_rank
   FROM documents)
 WHERE sample_rank <= {per_stratum}"""
+
+
+_GATE_PARAMS = dict(min_tokens=20, max_dup_ratio=0.5, langs=("en", "fr"))
+
+
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed keep/drop funnel (first-failing-rule semantics:
+    too_few_tokens → too_repetitive → bad_lang → has_pii) over the
+    planted-PII corpus — zero-shuffle column expressions."""
+    from linkgraph.pipeline.text import quality_gate
+
+    return quality_gate(_planted_pii_text(spark, sf_dir), **_GATE_PARAMS)
+
+
+def sql_quality_gate() -> str:
+    from linkgraph.pipeline.text import PII_PATTERNS
+
+    pii = " + ".join(
+        f"len(regexp_extract_all(text, '{p}'))" for p in PII_PATTERNS.values()
+    )
+    mt, mdr = _GATE_PARAMS["min_tokens"], _GATE_PARAMS["max_dup_ratio"]
+    langs = ", ".join(f"'{l}'" for l in _GATE_PARAMS["langs"])
+    return f"""
+WITH planted AS ({_PII_PLANT_SQL}),
+feats AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+              ELSE 0.0 END AS dup_ratio,
+         len(t) AS n_tokens, lang, {pii} AS pii
+  FROM (SELECT *, string_split(text, ' ') AS t,
+               CASE WHEN len(string_split(text, ' ')) >= 2
+                    THEN list_transform(range(1, len(string_split(text, ' '))),
+                                        i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))
+                    ELSE [] END AS g
+        FROM planted)),
+decided AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens < {mt} THEN 'too_few_tokens'
+              WHEN dup_ratio > {mdr} THEN 'too_repetitive'
+              WHEN lang NOT IN ({langs}) THEN 'bad_lang'
+              WHEN pii > 0 THEN 'has_pii'
+              ELSE '' END AS fail_reason
+  FROM feats)
+SELECT doc_id, fail_reason = '' AS keep, fail_reason FROM decided"""
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per doc: token-keyed df join (never broadcast at
+    corpus scale) + per-doc top-k window."""
+    from linkgraph.pipeline.text import tfidf_topk
+
+    return tfidf_topk(load_documents(spark, sf_dir), k=5)
+
+
+def sql_tfidf_topk(k: int = 5) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token,
+         tf * (ln((n_docs + 1) / (df + 1.0)) + 1.0) AS t
+  FROM tf JOIN df USING (token) CROSS JOIN n)
+SELECT doc_id, token, ROUND(t, 4) AS tfidf, rk FROM (
+  SELECT doc_id, token, t,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY t DESC, token ASC) AS INT) AS rk
+  FROM scored)
+WHERE rk <= {k}"""
+
+
+def q_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus mixture report — one partial-aggregated
+    groupBy."""
+    from linkgraph.pipeline.text import mix_report
+
+    return mix_report(load_documents(spark, sf_dir))
+
+
+def sql_mix_report() -> str:
+    return """
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(SUM(len(text)) AS BIGINT) AS n_chars,
+       ROUND(AVG(len(string_split(text, ' '))), 5) AS avg_tokens
+FROM documents GROUP BY source, lang"""
 
 
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2361,11 +2452,9 @@ QUERIES = {
     "doc_article_rank": q_doc_article_rank,
     "doc_eigenvector": q_doc_eigenvector,
     "doc_sssp": q_doc_sssp,
-    "doc_dijkstra": q_doc_dijkstra,
     "doc_astar": q_doc_astar,
     "doc_bfs": q_doc_bfs,
     "doc_closeness": q_doc_closeness,
-    "doc_closeness_wf": q_doc_closeness_wf,
     "doc_harmonic": q_doc_harmonic,
     "doc_allsp": q_doc_allsp,
     "doc_scc": q_doc_scc,
@@ -2405,9 +2494,14 @@ QUERIES = {
     "ngram_repetition": q_ngram_repetition,
     "contamination": q_contamination,
     "stratified_sample": q_stratified_sample,
+    "quality_gate": q_quality_gate,
+    "tfidf_topk": q_tfidf_topk,
     # ---- positions 51+: oracle-backed variants sharing a family above ----
     "doc_pagerank_pull": q_doc_pagerank_pull,
     "doc_pagerank_converged": q_doc_pagerank_converged,
+    "doc_dijkstra": q_doc_dijkstra,
+    "doc_closeness_wf": q_doc_closeness_wf,
+    "mix_report": q_mix_report,
     "doc_dangalchev": q_doc_dangalchev,
     "doc_allsp_weighted": q_doc_allsp_weighted,
     "doc_maxst_weight": q_doc_maxst_weight,
@@ -2493,6 +2587,9 @@ ORACLES = {
     "ngram_repetition": sql_ngram_repetition(),
     "contamination": sql_contamination(),
     "stratified_sample": sql_stratified_sample(),
+    "quality_gate": sql_quality_gate(),
+    "tfidf_topk": sql_tfidf_topk(),
+    "mix_report": sql_mix_report(),
     "near_dup_jaccard": sql_near_dup_jaccard(),
     "emb_cosine_topk": sql_emb_cosine_topk(),
     "emb_cosine_procs": sql_emb_cosine_procs(),

@@ -617,6 +617,81 @@ def test_stratified_sample_quota_and_determinism(spark):
     )
 
 
+def test_quality_gate_funnel_order(spark):
+    from linkgraph.pipeline.text import quality_gate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "one two three four five six", "en"),      # keep
+            (1, "short text", "en"),                       # too_few_tokens
+            (2, "a b a b a b a b a b a b", "zh"),          # repetitive AND bad lang -> first rule wins
+            (3, "clean words here but wrong language ok", "de"),  # bad_lang
+            (4, "contact me at foo@bar.com for details please", "en"),  # has_pii
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in quality_gate(
+            docs, min_tokens=3, max_dup_ratio=0.5, langs=("en",)
+        ).collect()
+    }
+    assert (rows[0]["keep"], rows[0]["fail_reason"]) == (True, "")
+    assert rows[1]["fail_reason"] == "too_few_tokens"
+    assert rows[2]["fail_reason"] == "too_repetitive"  # fires before bad_lang
+    assert rows[3]["fail_reason"] == "bad_lang"
+    assert (rows[4]["keep"], rows[4]["fail_reason"]) == (False, "has_pii")
+
+
+def test_tfidf_topk_vs_numpy(spark):
+    import math
+
+    from linkgraph.pipeline.text import tfidf_topk
+
+    texts = ["cat dog cat", "dog fish", "cat bird bird"]
+    docs = _docs(spark, texts)
+    out = tfidf_topk(docs, k=2).collect()
+    # independent python oracle
+    n = len(texts)
+    tokd = [t.split(" ") for t in texts]
+    df = {}
+    for toks in tokd:
+        for tok in set(toks):
+            df[tok] = df.get(tok, 0) + 1
+    expect = {}
+    for i, toks in enumerate(tokd):
+        scores = sorted(
+            (
+                (-toks.count(t) * (math.log((n + 1) / (df[t] + 1)) + 1), t)
+                for t in set(toks)
+            )
+        )[:2]
+        expect[i] = [(t, round(-s, 4), r + 1) for r, (s, t) in enumerate(scores)]
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append((r["token"], r["tfidf"], r["rk"]))
+    for i in expect:
+        assert sorted(got[i], key=lambda x: x[2]) == expect[i]
+
+
+def test_mix_report_totals(spark):
+    from linkgraph.pipeline.text import mix_report
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c", "en", "s1"),
+            (1, "d e", "en", "s1"),
+            (2, "f g h i", "fr", "s1"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {(r["source"], r["lang"]): r for r in mix_report(docs).collect()}
+    assert rows[("s1", "en")]["n_docs"] == 2
+    assert rows[("s1", "en")]["n_tokens"] == 5
+    assert rows[("s1", "en")]["avg_tokens"] == 2.5
+    assert rows[("s1", "fr")]["n_tokens"] == 4
+
+
 def test_streaming_token_stats_matches_batch(spark, tmp_path):
     from linkgraph.pipeline.text import token_stats
     from linkgraph.streaming import read_document_stream, run_available_now, stream_token_stats
