@@ -521,3 +521,59 @@ def embedding_near_duplicates(
         pairs.select("a", "b", F.round(dot / (na * nb), 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def remove_boilerplate_spans(
+    docs: DataFrame,
+    n: int = 5,
+    min_df: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, clean_text, n_blocks, n_removed) — C4-style cross-corpus
+    boilerplate removal: split each document into consecutive disjoint
+    ``n``-token blocks, drop every block whose exact text occurs in
+    ≥ ``min_df`` distinct documents, and reassemble the survivors in
+    order.
+
+    Scale shape: one row-local block split (no shuffle), one
+    partial-aggregated groupBy(block) for document frequency, one
+    block-keyed hash join (the df table is corpus-sized — joined on the
+    shuffle key, never broadcast), and one groupBy(doc) ordered
+    reassembly via ``array_sort(collect_list(struct(pos, block)))``.
+    Nothing touches the driver; block texts never leave their shuffle
+    partition twice.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_blocks = F.ceil(F.size(toks) / F.lit(float(n))).cast("int")
+    blocks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_blocks),
+                lambda j: F.concat_ws(" ", F.slice(toks, (j - 1) * n + 1, n)),
+            )
+        ).alias("j", "b"),
+    )
+    bdf = blocks.groupBy("b").agg(F.count_distinct("doc_id").alias("bdf"))
+    tagged = blocks.join(bdf, "b").withColumn("boiler", F.col("bdf") >= min_df)
+    rebuilt = tagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("boiler"), F.struct("j", "b")).otherwise(None)
+                    )
+                ),
+                lambda s: s["b"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.col("boiler").cast("long")).alias("n_removed"),
+    )
+    return docs.select("doc_id").join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_blocks", F.lit(0)).alias("n_blocks"),
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+    )

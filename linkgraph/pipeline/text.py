@@ -345,3 +345,51 @@ def mix_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.avg(n_tok), 5).alias("avg_tokens"),
         )
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 4, w: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fp) — MOSS-style winnowing fingerprints (Schleimer,
+    Wilkerson, Aiken, SIGMOD'03): hash every token ``k``-gram, slide a
+    window of ``w`` consecutive gram hashes, keep each window's minimum,
+    emit the distinct minima. Guarantees any shared run of
+    ``w + k - 1`` tokens yields at least one common fingerprint — the
+    robust containment/fragment-overlap signal whole-doc md5 can't give.
+
+    Entirely row-local until the final explode (higher-order array ops,
+    no UDF); the hash is md5 hex — a FIXED-LENGTH string, so the window
+    minimum is a plain lexicographic ``array_min`` that behaves
+    identically in any engine. Documents shorter than ``k`` tokens emit
+    no fingerprints; docs with fewer than ``w`` grams emit the single
+    global minimum (standard winnowing boundary case).
+    """
+    toks = F.split(F.col(text_col), " ")
+    gram_expr = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # materialize the gram array as a real column: referencing the raw
+    # expression inside the window lambdas makes Catalyst re-evaluate the
+    # whole md5 array per window (O(grams²·md5) per row — measured 79 s
+    # vs 2 s at sf0.1)
+    with_grams = docs.select("doc_id", gram_expr.alias("_grams"))
+    grams = F.col("_grams")
+    g = F.size(grams)
+    fps = (
+        F.when(
+            g >= w,
+            F.transform(
+                F.sequence(F.lit(1), g - (w - 1)),
+                lambda j: F.array_min(F.slice(grams, j, w)),
+            ),
+        )
+        .when(g > 0, F.array(F.array_min(grams)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return with_grams.select(
+        "doc_id", F.explode(F.array_distinct(fps)).alias("fp")
+    )

@@ -1068,6 +1068,70 @@ SELECT source, lang,
 FROM documents GROUP BY source, lang"""
 
 
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus boilerplate-span removal (C4-style): disjoint 5-token
+    blocks occurring in ≥ 3 distinct docs are dropped; text reassembled
+    in order."""
+    from linkgraph.pipeline.dedup import remove_boilerplate_spans
+
+    return remove_boilerplate_spans(load_documents(spark, sf_dir), n=5, min_df=3)
+
+
+def sql_boilerplate(n: int = 5, min_df: int = 3) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+blocks AS (
+  SELECT doc_id, j,
+         array_to_string(t[(j-1)*{n}+1 : least(j*{n}, len(t))], ' ') AS b
+  FROM (SELECT doc_id, t,
+               unnest(range(1, CAST(ceil(len(t) / {n}.0) AS INT) + 1)) AS j
+        FROM toks)),
+bdf AS (SELECT b, COUNT(DISTINCT doc_id) AS bdf FROM blocks GROUP BY b),
+tagged AS (
+  SELECT doc_id, j, blocks.b, bdf.bdf >= {min_df} AS boiler
+  FROM blocks JOIN bdf USING (b)),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN NOT boiler THEN b END, ' ' ORDER BY j) AS clean_text,
+         COUNT(*) AS n_blocks,
+         SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS n_removed
+  FROM tagged GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(clean_text, '') AS clean_text,
+       CAST(COALESCE(n_blocks, 0) AS BIGINT) AS n_blocks,
+       CAST(COALESCE(n_removed, 0) AS BIGINT) AS n_removed
+FROM (SELECT doc_id FROM documents) d LEFT JOIN rebuilt USING (doc_id)"""
+
+
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (k=4 token grams, window 5, md5-hex
+    minima) — row-local higher-order ops + one explode."""
+    from linkgraph.pipeline.text import winnow_fingerprints
+
+    return winnow_fingerprints(load_documents(spark, sf_dir), k=4, w=5)
+
+
+def sql_winnow(k: int = 4, w: int = 5) -> str:
+    return f"""
+WITH grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {k}
+              THEN list_transform(range(1, len(t) - {k} + 2),
+                                  i -> md5(array_to_string(t[i:i+{k}-1], ' ')))
+              ELSE [] END AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+fps AS (
+  SELECT doc_id,
+         CASE WHEN len(g) >= {w}
+              THEN list_transform(range(1, len(g) - {w} + 2),
+                                  j -> list_aggregate(g[j:j+{w}-1], 'min'))
+              WHEN len(g) > 0 THEN [list_aggregate(g, 'min')]
+              ELSE [] END AS f
+  FROM grams)
+SELECT doc_id, unnest(list_distinct(f)) AS fp FROM fps"""
+
+
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.pipeline.dedup import token_jaccard_pairs
 
@@ -2502,6 +2566,8 @@ QUERIES = {
     "doc_dijkstra": q_doc_dijkstra,
     "doc_closeness_wf": q_doc_closeness_wf,
     "mix_report": q_mix_report,
+    "boilerplate": q_boilerplate,
+    "winnow": q_winnow,
     "doc_dangalchev": q_doc_dangalchev,
     "doc_allsp_weighted": q_doc_allsp_weighted,
     "doc_maxst_weight": q_doc_maxst_weight,
@@ -2590,6 +2656,8 @@ ORACLES = {
     "quality_gate": sql_quality_gate(),
     "tfidf_topk": sql_tfidf_topk(),
     "mix_report": sql_mix_report(),
+    "boilerplate": sql_boilerplate(),
+    "winnow": sql_winnow(),
     "near_dup_jaccard": sql_near_dup_jaccard(),
     "emb_cosine_topk": sql_emb_cosine_topk(),
     "emb_cosine_procs": sql_emb_cosine_procs(),

@@ -692,6 +692,55 @@ def test_mix_report_totals(spark):
     assert rows[("s1", "fr")]["n_tokens"] == 4
 
 
+def test_remove_boilerplate_spans(spark):
+    from linkgraph.pipeline.dedup import remove_boilerplate_spans
+
+    docs = _docs(
+        spark,
+        [
+            "one two three unique alpha beta gamma",   # blocks: [one..alpha],[beta gamma]
+            "one two three unique alpha other words",  # shares block 1 with doc 0
+            "totally different content in this doc",
+        ],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_spans(docs, n=5, min_df=2).collect()
+    }
+    # the shared 5-token block is removed from both docs, tails survive
+    assert rows[0]["clean_text"] == "beta gamma"
+    assert (rows[0]["n_blocks"], rows[0]["n_removed"]) == (2, 1)
+    assert rows[1]["clean_text"] == "other words"
+    assert rows[2]["n_removed"] == 0
+    assert rows[2]["clean_text"] == "totally different content in this doc"
+
+
+def test_winnow_fingerprints_shared_run_guarantee(spark):
+    from linkgraph.pipeline.text import winnow_fingerprints
+
+    k, w = 4, 5
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens = w+k-1
+    docs = _docs(
+        spark,
+        [
+            "x1 x2 x3 " + shared + " y1 y2",
+            "z9 z8 " + shared + " q5 q6 q7",
+            "completely unrelated words here now ok fine",
+        ],
+    )
+    fps = {}
+    for r in winnow_fingerprints(docs, k=k, w=w).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    # winnowing guarantee: a shared run of w+k-1 tokens yields >=1 common fp
+    assert fps[0] & fps[1]
+    assert not (fps[0] & fps[2])
+    # short doc (< k tokens) emits nothing; doc with < w grams emits one
+    short = _docs(spark, ["a b c", "t1 t2 t3 t4 t5"])
+    out = winnow_fingerprints(short, k=k, w=w).collect()
+    assert {r["doc_id"] for r in out} == {1}
+    assert len([r for r in out if r["doc_id"] == 1]) == 1
+
+
 def test_streaming_token_stats_matches_batch(spark, tmp_path):
     from linkgraph.pipeline.text import token_stats
     from linkgraph.streaming import read_document_stream, run_available_now, stream_token_stats
