@@ -1132,6 +1132,46 @@ fps AS (
 SELECT doc_id, unnest(list_distinct(f)) AS fp FROM fps"""
 
 
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64 → 8 dims, wide shape — seed-deterministic
+    literal matrix folded into the plan, one zip_with/aggregate dot per
+    output dim, zero shuffle."""
+    from linkgraph.pipeline.embed import random_projection_wide
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return random_projection_wide(emb, out_dim=8, seed=42)
+
+
+def sql_random_projection(out_dim: int = 8, seed: int = 42, in_dim: int = 64) -> str:
+    from linkgraph.pipeline.embed import _projection_matrix
+
+    mat = _projection_matrix(in_dim, out_dim, seed)
+    cols = ",\n       ".join(
+        "ROUND(list_dot_product(e, ["
+        + ", ".join(repr(float(c)) for c in row)
+        + f"]), 4) AS d{j}"
+        for j, row in enumerate(mat)
+    )
+    return (
+        _EMB_V
+        + f"""
+SELECT vec_id,
+       {cols}
+FROM v"""
+    )
+
+
+def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA 64 → 8: covariance from per-partition Arrow partial
+    sums, driver d×d eigendecomposition, JVM-literal projection. No SQL
+    oracle (eigendecomposition); numpy parity golden in
+    tests/test_pipeline.py."""
+    from linkgraph.pipeline.embed import pca_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pca_project(emb, n_components=8)
+
+
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.pipeline.dedup import token_jaccard_pairs
 
@@ -2568,6 +2608,7 @@ QUERIES = {
     "mix_report": q_mix_report,
     "boilerplate": q_boilerplate,
     "winnow": q_winnow,
+    "emb_random_projection": q_random_projection,
     "doc_dangalchev": q_doc_dangalchev,
     "doc_allsp_weighted": q_doc_allsp_weighted,
     "doc_maxst_weight": q_doc_maxst_weight,
@@ -2603,6 +2644,7 @@ QUERIES = {
     "emb_pq_topk": q_emb_pq_topk,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
+    "emb_pca": q_emb_pca,
 }
 
 ORACLES = {
@@ -2658,6 +2700,7 @@ ORACLES = {
     "mix_report": sql_mix_report(),
     "boilerplate": sql_boilerplate(),
     "winnow": sql_winnow(),
+    "emb_random_projection": sql_random_projection(),
     "near_dup_jaccard": sql_near_dup_jaccard(),
     "emb_cosine_topk": sql_emb_cosine_topk(),
     "emb_cosine_procs": sql_emb_cosine_procs(),

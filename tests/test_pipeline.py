@@ -1066,3 +1066,65 @@ def test_pq_ann_recall(spark):
     cluster_hits = sum(1 for a in range(20) if got.get(a) is not None
                        and got[a] % 6 == a % 6)
     assert cluster_hits >= 16  # ≥80% same-cluster top-1
+
+
+def _emb_df(spark, n=80, d=12, seed=7):
+    rng = np.random.RandomState(seed)
+    x = rng.standard_normal((n, d))
+    # give the data real principal structure
+    x[:, 0] *= 5.0
+    x[:, 1] *= 2.5
+    rows = [(i, x[i].astype(float).tolist()) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        x,
+    )
+
+
+def test_covariance_matrix_matches_numpy(spark):
+    from linkgraph.pipeline.embed import covariance_matrix
+
+    emb, x = _emb_df(spark)
+    cov, mean, n = covariance_matrix(emb.repartition(7))
+    assert n == x.shape[0]
+    np.testing.assert_allclose(mean, x.mean(axis=0), atol=1e-10)
+    np.testing.assert_allclose(cov, np.cov(x, rowvar=False, bias=True), atol=1e-9)
+
+
+def test_pca_project_matches_numpy(spark):
+    from linkgraph.pipeline.embed import pca_project
+
+    emb, x = _emb_df(spark)
+    out = {r["vec_id"]: np.asarray(r["pc"]) for r in pca_project(emb, 3).collect()}
+    cov = np.cov(x, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    comps = vecs[:, np.argsort(vals)[::-1][:3]].T
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    expect = (x - x.mean(axis=0)) @ comps.T
+    got = np.stack([out[i] for i in range(x.shape[0])])
+    np.testing.assert_allclose(got, np.round(expect, 4), atol=2e-4)
+    # variance concentrates on pc0 (we scaled dim 0 by 5x)
+    v = got.var(axis=0)
+    assert v[0] > v[1] > v[2]
+
+
+def test_random_projection_preserves_distances(spark):
+    from linkgraph.pipeline.embed import random_projection
+
+    emb, x = _emb_df(spark, n=40, d=12)
+    out = {
+        r["vec_id"]: np.asarray(r["proj"])
+        for r in random_projection(emb, out_dim=8, seed=1).collect()
+    }
+    p = np.stack([out[i] for i in range(40)])
+    # JL: relative pairwise-distance distortion is bounded on average
+    from itertools import combinations
+
+    pairs = list(combinations(range(40), 2))[:200]
+    orig = np.array([np.linalg.norm(x[a] - x[b]) for a, b in pairs])
+    proj = np.array([np.linalg.norm(p[a] - p[b]) for a, b in pairs])
+    ratio = proj / orig
+    assert abs(float(np.median(ratio)) - 1.0) < 0.25
