@@ -102,6 +102,15 @@ def main() -> None:
     timed("emb_pq_topk", Q.q_emb_pq_topk)
     timed("doc_kcore", Q.q_doc_kcore)
     timed("dedup_clusters", Q.q_dedup_clusters)
+    timed("tfidf_topk", Q.q_tfidf_topk)
+    timed("quality_gate", Q.q_quality_gate)
+    timed("contamination", Q.q_contamination)
+    timed("winnow", Q.q_winnow)
+    timed("boilerplate", Q.q_boilerplate)
+    timed("emb_random_projection", Q.q_random_projection)
+    timed("sessionize", Q.q_sessionize)
+    timed("pack_sequences", Q.q_pack_sequences)
+    timed("lm_score", Q.q_lm_score)
 
     canary_mid = host_canary()
 

@@ -31,7 +31,9 @@ def _projection_matrix(in_dim: int, out_dim: int, seed: int) -> np.ndarray:
     return rng.standard_normal((out_dim, in_dim)) / np.sqrt(out_dim)
 
 
-def _matvec_cols(vec_col: str, mat: np.ndarray, ndigits: int = 4) -> list:
+def _matvec_cols(
+    vec_col: str, mat: np.ndarray, ndigits: int = 4, prefix: str = "d"
+) -> list:
     """One JVM dot-product expression per output dimension: the matrix row
     becomes a literal float array folded into the plan (no broadcast var,
     no UDF)."""
@@ -43,8 +45,20 @@ def _matvec_cols(vec_col: str, mat: np.ndarray, ndigits: int = 4) -> list:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        cols.append(F.round(dot, ndigits).alias(f"d{j}"))
+        cols.append(F.round(dot, ndigits).alias(f"{prefix}{j}"))
     return cols
+
+
+def _probe_dim(emb: DataFrame, vec_col: str) -> int:
+    """Length of the vector column, from one driver-side row (an eager
+    one-row job at plan-construction time — pass the dimension explicitly
+    in latency-sensitive paths)."""
+    first = emb.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError(
+            f"cannot infer embedding dimension: {vec_col!r} has no non-null rows"
+        )
+    return len(first[0])
 
 
 def random_projection(
@@ -60,12 +74,10 @@ def random_projection(
     preserved within (1±ε) per Johnson–Lindenstrauss, making this the
     standard pre-pass that shrinks ANN / dedup shuffle width.
     """
-    in_dim = len(emb.select(vec_col).first()[0])
-    mat = _projection_matrix(in_dim, out_dim, seed)
-    cols = _matvec_cols(vec_col, mat)
-    return emb.select(
-        id_col, F.array(*[c for c in cols]).alias("proj")
+    cols = _matvec_cols(
+        vec_col, _projection_matrix(_probe_dim(emb, vec_col), out_dim, seed)
     )
+    return emb.select(id_col, F.array(*cols).alias("proj"))
 
 
 def random_projection_wide(
@@ -75,11 +87,13 @@ def random_projection_wide(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(vec_id, d0..d{out_dim-1}) — same projection, one column per output
-    dimension (the oracle-friendly wide shape)."""
-    in_dim = len(emb.select(vec_col).first()[0])
-    mat = _projection_matrix(in_dim, out_dim, seed)
-    return emb.select(id_col, *_matvec_cols(vec_col, mat))
+    """(vec_id, d0..d{out_dim-1}) — same projection as
+    :func:`random_projection`, one column per output dimension (the
+    oracle-friendly wide shape)."""
+    cols = _matvec_cols(
+        vec_col, _projection_matrix(_probe_dim(emb, vec_col), out_dim, seed)
+    )
+    return emb.select(id_col, *cols)
 
 
 def covariance_matrix(
@@ -121,6 +135,10 @@ def covariance_matrix(
             )
 
     parts = emb.select(vec_col).mapInPandas(partial, schema).collect()
+    if not parts:
+        raise ValueError(
+            f"covariance_matrix: no non-empty partitions in {vec_col!r}"
+        )
     n = sum(r["n"] for r in parts)
     s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
     ss = np.sum([np.asarray(r["ss"]) for r in parts], axis=0)
@@ -162,13 +180,5 @@ def pca_project(
         lambda x, y: x.cast("double") - y,
     )
     tmp = emb.select(id_col, centered.alias("_c"))
-    cols = []
-    for i, row in enumerate(comps):
-        lit = F.array(*[F.lit(float(c)) for c in row])
-        dot = F.aggregate(
-            F.zip_with(F.col("_c"), lit, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        cols.append(F.round(dot, ndigits).alias(f"pc{i}"))
+    cols = _matvec_cols("_c", comps, ndigits, prefix="pc")
     return tmp.select(id_col, F.array(*cols).alias("pc"))

@@ -117,25 +117,34 @@ def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _word_ngrams(n: int, text_col: str = "text", mapper=None):
+    """Guarded row-local word n-gram array expression
+    (`sequence` → `transform` → `slice` → `concat_ws`), shared by every
+    gram-based operator below. `sequence(a, b)` is DESCENDING when b < a,
+    so short docs are guarded to an empty array first. ``mapper`` (e.g.
+    ``F.md5``) is applied to each gram inside the transform lambda."""
+    toks = F.split(F.col(text_col), " ")
+    gram = (
+        (lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        if mapper is None
+        else (lambda i: mapper(F.concat_ws(" ", F.slice(toks, i, n))))
+    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def ngram_repetition(docs: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
     """(doc_id, n_grams, n_uniq_grams, dup_ratio) — within-document word
     n-gram repetition, the Rae et al. (Gopher) style boilerplate/loop
     filter signal.
 
-    Grams are built row-locally with higher-order array functions
-    (`sequence` → `transform` → `slice` → `concat_ws`): zero shuffle, all
+    Grams are built row-locally via :func:`_word_ngrams`: zero shuffle, all
     JVM codegen — the only shape that survives 100 TB (no explode, no
     group-by; gram lists never leave the row).
     """
-    toks = F.split(F.col(text_col), " ")
-    # sequence(a, b) is DESCENDING when b < a, so guard short docs first
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _word_ngrams(n, text_col)
     total = F.size(grams).cast("long")
     uniq = F.size(F.array_distinct(grams)).cast("long")
     return docs.select(
@@ -169,16 +178,7 @@ def benchmark_contamination(
     """
     from pyspark.sql.functions import broadcast
 
-    def gram_col():
-        toks = F.split(F.col(text_col), " ")
-        return F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
+    gram_col = lambda: _word_ngrams(n, text_col)  # noqa: E731
     doc_grams = docs.select(
         "doc_id", F.explode(F.array_distinct(gram_col())).alias("gram")
     )
@@ -258,13 +258,7 @@ def quality_gate(
     toks = F.split(F.col(text_col), " ")
     n_tokens = F.size(toks).cast("long")
     # bigram dup ratio, same row-local construction as ngram_repetition(n=2)
-    grams = F.when(
-        n_tokens >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _word_ngrams(2, text_col)
     total = F.size(grams).cast("double")
     dup_ratio = F.when(
         total > 0, 1.0 - F.size(F.array_distinct(grams)).cast("double") / total
@@ -364,14 +358,7 @@ def winnow_fingerprints(
     no fingerprints; docs with fewer than ``w`` grams emit the single
     global minimum (standard winnowing boundary case).
     """
-    toks = F.split(F.col(text_col), " ")
-    gram_expr = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    gram_expr = _word_ngrams(k, text_col, mapper=F.md5)
     # materialize the gram array as a real column: referencing the raw
     # expression inside the window lambdas makes Catalyst re-evaluate the
     # whole md5 array per window (O(grams²·md5) per row — measured 79 s
@@ -392,4 +379,76 @@ def winnow_fingerprints(
     )
     return with_grams.select(
         "doc_id", F.explode(F.array_distinct(fps)).alias("fp")
+    )
+
+
+def lm_score(
+    docs: DataFrame,
+    k_smooth: float = 0.5,
+    text_col: str = "text",
+    ndigits: int = 4,
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob) — corpus-trained bigram language-
+    model score per document, the CCNet/KenLM-style fluency signal used to
+    rank web text for LM training (higher = more typical of the corpus).
+
+    Train and score in one plan: word-bigram and unigram counts are
+    aggregated over the WHOLE input, then every document's bigrams are
+    joined back against the counts and scored with add-``k_smooth``
+    smoothing:  log P(w | prev) = log((c2 + k) / (c1 + k·V)),  V = corpus
+    vocabulary size.  ``avg_logprob`` is the mean over the doc's bigrams
+    (exp(−avg) is the perplexity).  Documents with fewer than two tokens
+    have no bigrams and are absent from the output.
+
+    Scale shape: two groupBy shuffles for the count tables and one
+    shuffle join on the bigram key — all built-in aggregates, no UDF. At
+    100 TB you would train the count tables on a sample, cap the
+    vocabulary at top-M by count, and BROADCAST them; the full-join path
+    here is the exact small-scale reference the capped variant must match.
+    """
+    toks = F.split(F.col(text_col), " ")
+    # two-step select: materialize the token array first — referencing the
+    # raw split() inside the transform lambda makes Catalyst re-evaluate it
+    # per element (the O(n²) trap winnow_fingerprints documents)
+    tokd = docs.select("doc_id", toks.alias("_t"))
+    bg = (
+        tokd.select(
+            "doc_id",
+            F.when(
+                F.size("_t") >= 2, F.sequence(F.lit(1), F.size("_t") - 1)
+            )
+            .otherwise(F.array().cast("array<int>"))
+            .alias("_idx"),
+            "_t",
+        )
+        .select("doc_id", F.explode("_idx").alias("i"), "_t")
+        .select(
+            "doc_id",
+            F.element_at("_t", F.col("i")).alias("prev"),
+            F.element_at("_t", F.col("i") + 1).alias("w"),
+        )
+    )
+    big_counts = bg.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c2"))
+    uni_counts = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = docs.select(F.explode(toks).alias("tok")).agg(
+        F.count_distinct("tok").alias("v")
+    )
+    scored = (
+        bg.join(big_counts, ["prev", "w"])
+        .join(uni_counts.withColumnRenamed("tok", "prev"), "prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log((F.col("c2") + k_smooth) / (F.col("c1") + k_smooth * F.col("v"))).alias(
+                "lp"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("lp"), ndigits).alias("avg_logprob"),
     )

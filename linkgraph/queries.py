@@ -1172,6 +1172,99 @@ def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_project(emb, n_components=8)
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event sessionization (30-min inactivity gap) via the native
+    session_window aggregate — one shuffle on user_id, batch/stream-
+    identical semantics. Oracle: gaps-and-islands window SQL."""
+    from linkgraph.pipeline.sessions import sessionize
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(events, gap="30 minutes").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "start_s",
+        "end_s",
+        "n_events",
+        "total_value",
+    )
+
+
+def sql_sessionize(gap_seconds: int = 1800) -> str:
+    return f"""
+WITH flagged AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > {gap_seconds}
+              THEN 1 ELSE 0 END AS nf
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       MIN(epoch(ts)) AS start_s,
+       MAX(epoch(ts)) AS end_s,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM sess GROUP BY user_id, sid"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing layout (seq_len=512) via a
+    distributed prefix sum (deterministic id-range buckets + per-bucket
+    window + driver prefix over bucket totals). Oracle: one global
+    cumulative-sum window (fine in DuckDB at oracle scale; the Spark plan
+    is the one that must never do that)."""
+    from linkgraph.pipeline.sessions import pack_sequences
+
+    return pack_sequences(load_documents(spark, sf_dir), seq_len=512)
+
+
+def sql_pack_sequences(seq_len: int = 512) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM t)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(start_offset // {seq_len} AS BIGINT) AS first_seq,
+       CAST((start_offset + n_tokens - 1) // {seq_len} AS BIGINT) AS last_seq
+FROM c"""
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM fluency score per document (add-0.5
+    smoothing) — the CCNet/KenLM-style quality signal. Train + score in
+    one declarative plan."""
+    from linkgraph.pipeline.text import lm_score
+
+    return lm_score(load_documents(spark, sf_dir))
+
+
+def sql_lm_score(k: float = 0.5) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+idx AS (
+  SELECT doc_id, UNNEST(range(1, len(tk))) AS i, tk
+  FROM t WHERE len(tk) >= 2),
+bg AS (SELECT doc_id, tk[i] AS prev, tk[i + 1] AS w FROM idx),
+big AS (SELECT prev, w, COUNT(*) AS c2 FROM bg GROUP BY prev, w),
+uni AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+unic AS (SELECT tok, COUNT(*) AS c1 FROM uni GROUP BY tok),
+v AS (SELECT COUNT(DISTINCT tok) AS nv FROM uni)
+SELECT CAST(bg.doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(ln((c2 + {k}) / (c1 + {k} * v.nv))), 4) AS avg_logprob
+FROM bg JOIN big USING (prev, w) JOIN unic ON bg.prev = unic.tok, v
+GROUP BY bg.doc_id"""
+
+
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.pipeline.dedup import token_jaccard_pairs
 
@@ -2551,8 +2644,6 @@ QUERIES = {
     # oracles and are verifiable via tools/check_contract.py.
     # ------------------------------------------------------------------
     "doc_pagerank": q_doc_pagerank,
-    "doc_pagerank_weighted": q_doc_pagerank_weighted,
-    "doc_pagerank_personalized": q_doc_pagerank_personalized,
     "doc_article_rank": q_doc_article_rank,
     "doc_eigenvector": q_doc_eigenvector,
     "doc_sssp": q_doc_sssp,
@@ -2563,21 +2654,17 @@ QUERIES = {
     "doc_allsp": q_doc_allsp,
     "doc_scc": q_doc_scc,
     "doc_wcc": q_doc_wcc,
-    "doc_wcc_threshold": q_doc_wcc_threshold,
     "doc_wcc_stats": q_doc_wcc_stats,
     "doc_lpa": q_doc_lpa,
-    "doc_lpa_weighted": q_doc_lpa_weighted,
     "doc_triangles": q_doc_triangles,
     "doc_triangle_global": q_doc_triangle_global,
     "doc_balanced_triads": q_doc_balanced_triads,
     "doc_degree": q_doc_degree,
-    "doc_degree_weighted": q_doc_degree_weighted,
     "doc_subgraph_degree": q_doc_subgraph_degree,
     "stream_distinct_degree": q_stream_distinct_degree,
     "doc_betweenness_sub": q_doc_betweenness_sub,
     "doc_kcore": q_doc_kcore,
     "doc_mst_weight": q_doc_mst_weight,
-    "doc_kspanning_stats": q_doc_kspanning_stats,
     "doc_linkpred": q_doc_linkpred,
     "doc_same_community": q_doc_same_community,
     "user_jaccard_topk": q_user_jaccard_topk,
@@ -2600,15 +2687,24 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "quality_gate": q_quality_gate,
     "tfidf_topk": q_tfidf_topk,
-    # ---- positions 51+: oracle-backed variants sharing a family above ----
-    "doc_pagerank_pull": q_doc_pagerank_pull,
-    "doc_pagerank_converged": q_doc_pagerank_converged,
-    "doc_dijkstra": q_doc_dijkstra,
-    "doc_closeness_wf": q_doc_closeness_wf,
     "mix_report": q_mix_report,
     "boilerplate": q_boilerplate,
     "winnow": q_winnow,
     "emb_random_projection": q_random_projection,
+    "sessionize": q_sessionize,
+    "pack_sequences": q_pack_sequences,
+    # ---- positions 51+: oracle-backed variants sharing a family above ----
+    "doc_pagerank_pull": q_doc_pagerank_pull,
+    "doc_pagerank_personalized": q_doc_pagerank_personalized,
+    "doc_wcc_threshold": q_doc_wcc_threshold,
+    "lm_score": q_lm_score,
+    "doc_pagerank_weighted": q_doc_pagerank_weighted,
+    "doc_pagerank_converged": q_doc_pagerank_converged,
+    "doc_dijkstra": q_doc_dijkstra,
+    "doc_closeness_wf": q_doc_closeness_wf,
+    "doc_lpa_weighted": q_doc_lpa_weighted,
+    "doc_degree_weighted": q_doc_degree_weighted,
+    "doc_kspanning_stats": q_doc_kspanning_stats,
     "doc_dangalchev": q_doc_dangalchev,
     "doc_allsp_weighted": q_doc_allsp_weighted,
     "doc_maxst_weight": q_doc_maxst_weight,
@@ -2697,6 +2793,9 @@ ORACLES = {
     "stratified_sample": sql_stratified_sample(),
     "quality_gate": sql_quality_gate(),
     "tfidf_topk": sql_tfidf_topk(),
+    "sessionize": sql_sessionize(),
+    "pack_sequences": sql_pack_sequences(),
+    "lm_score": sql_lm_score(),
     "mix_report": sql_mix_report(),
     "boilerplate": sql_boilerplate(),
     "winnow": sql_winnow(),

@@ -246,6 +246,31 @@ def incremental_wcc(
     )
 
 
+def stream_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of ``pipeline.sessions.sessionize``: the SAME
+    ``session_window`` aggregate, with a watermark so session state is
+    BOUNDED — a session closes (and its row is emitted, in append mode)
+    once the watermark passes its gap-extended end, and late events beyond
+    ``watermark`` are dropped instead of growing state forever. Batch and
+    stream rows agree for every session older than the watermark."""
+    from linkgraph.pipeline.sessions import sessionize
+
+    return sessionize(
+        events.withWatermark(ts_col, watermark),
+        gap=gap,
+        user_col=user_col,
+        ts_col=ts_col,
+        value_col=value_col,
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> list:
