@@ -402,21 +402,26 @@ def lm_score(
 
     Scale shape: two groupBy shuffles for the count tables and one
     shuffle join on the bigram key — all built-in aggregates, no UDF. At
-    100 TB you would train the count tables on a sample, cap the
-    vocabulary at top-M by count, and BROADCAST them; the full-join path
-    here is the exact small-scale reference the capped variant must match.
+    100 TB, train with :func:`train_bigram_lm` ``max_bigrams=M`` (top-M
+    capped count tables, broadcastable) — this full-join path is the
+    exact small-scale reference the capped variant must match.
     """
+    return score_bigram_lm(
+        docs, train_bigram_lm(docs, text_col=text_col), k_smooth, text_col, ndigits
+    )
+
+
+def _doc_bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, prev, w) — one row per in-document word bigram."""
     toks = F.split(F.col(text_col), " ")
     # two-step select: materialize the token array first — referencing the
     # raw split() inside the transform lambda makes Catalyst re-evaluate it
     # per element (the O(n²) trap winnow_fingerprints documents)
     tokd = docs.select("doc_id", toks.alias("_t"))
-    bg = (
+    return (
         tokd.select(
             "doc_id",
-            F.when(
-                F.size("_t") >= 2, F.sequence(F.lit(1), F.size("_t") - 1)
-            )
+            F.when(F.size("_t") >= 2, F.sequence(F.lit(1), F.size("_t") - 1))
             .otherwise(F.array().cast("array<int>"))
             .alias("_idx"),
             "_t",
@@ -428,27 +433,112 @@ def lm_score(
             F.element_at("_t", F.col("i") + 1).alias("w"),
         )
     )
-    big_counts = bg.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c2"))
-    uni_counts = (
+
+
+def train_bigram_lm(
+    docs: DataFrame,
+    max_bigrams: int | None = None,
+    max_unigrams: int | None = None,
+    text_col: str = "text",
+) -> dict:
+    """Train the bigram model: ``{'bigrams': (prev, w, c2),
+    'unigrams': (tok, c1), 'vocab': (v)}`` count DataFrames.
+
+    With ``max_bigrams``/``max_unigrams`` the count tables are capped to
+    the top-M rows by count (deterministic count-desc, key-asc
+    tie-break) — the 100 TB shape: a capped table is small enough to
+    BROADCAST into :func:`score_bigram_lm`, turning the scoring join
+    into a map-side lookup; grams outside the cap score through the
+    add-k fallback (count 0). ``vocab`` stays the FULL distinct-token
+    count so smoothing mass is unchanged by the cap. The top-M
+    row_number window runs over the COUNT table (vocab-sized, orders of
+    magnitude smaller than the corpus); at extreme vocab sizes pre-filter
+    with a count cutoff (``c2 >= t``) before capping.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    big = _doc_bigrams(docs, text_col).groupBy("prev", "w").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    uni = (
         docs.select(F.explode(toks).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
+    if max_bigrams is not None:
+        wb = Window.orderBy(F.desc("c2"), F.asc("prev"), F.asc("w"))
+        big = (
+            big.withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_rn") <= max_bigrams)
+            .drop("_rn")
+        )
+    if max_unigrams is not None:
+        wu = Window.orderBy(F.desc("c1"), F.asc("tok"))
+        uni = (
+            uni.withColumn("_rn", F.row_number().over(wu))
+            .filter(F.col("_rn") <= max_unigrams)
+            .drop("_rn")
+        )
     vocab = docs.select(F.explode(toks).alias("tok")).agg(
         F.count_distinct("tok").alias("v")
     )
+    return {"bigrams": big, "unigrams": uni, "vocab": vocab}
+
+
+def score_bigram_lm(
+    docs: DataFrame,
+    model: dict,
+    k_smooth: float = 0.5,
+    text_col: str = "text",
+    ndigits: int = 4,
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """Score documents against a trained bigram model (same output shape
+    as :func:`lm_score`). LEFT joins + count-0 fallback make it exact for
+    a full model and well-defined for a capped one; with
+    ``broadcast_model=True`` both count tables are broadcast (the capped-
+    model 100 TB path — no shuffle of the corpus bigrams at all). Works
+    unchanged on a STREAMING ``docs`` frame (stream-static left joins);
+    see ``streaming.stream_lm_score`` for the per-micro-batch wrapper.
+    """
+    big, uni = model["bigrams"], model["unigrams"]
+    if broadcast_model:
+        big, uni = F.broadcast(big), F.broadcast(uni)
+    bg = _doc_bigrams(docs, text_col)
     scored = (
-        bg.join(big_counts, ["prev", "w"])
-        .join(uni_counts.withColumnRenamed("tok", "prev"), "prev")
-        .crossJoin(F.broadcast(vocab))
+        bg.join(big, ["prev", "w"], "left")
+        .join(uni.withColumnRenamed("tok", "prev"), "prev", "left")
+        .crossJoin(F.broadcast(model["vocab"]))
         .select(
             "doc_id",
-            F.log((F.col("c2") + k_smooth) / (F.col("c1") + k_smooth * F.col("v"))).alias(
-                "lp"
-            ),
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + k_smooth)
+                / (F.coalesce(F.col("c1"), F.lit(0)) + k_smooth * F.col("v"))
+            ).alias("lp"),
         )
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.avg("lp"), ndigits).alias("avg_logprob"),
+    )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.7,
+    ndigits: int = 6,
+) -> DataFrame:
+    """(source, n_docs, weight) — temperature-based sampling weights for
+    a training mixture: weight ∝ n^alpha, normalized (alpha=1 is
+    proportional sampling, alpha→0 uniform over groups — the standard
+    multilingual/multi-source rebalancing rule). The grouped table has
+    one row per source, so the normalizer is a broadcast scalar."""
+    g = docs.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    z = g.agg(F.sum(F.pow("n_docs", F.lit(alpha))).alias("z"))
+    return g.crossJoin(F.broadcast(z)).select(
+        group_col,
+        "n_docs",
+        F.round(F.pow("n_docs", F.lit(alpha)) / F.col("z"), ndigits).alias("weight"),
     )

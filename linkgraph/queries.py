@@ -1265,6 +1265,26 @@ FROM bg JOIN big USING (prev, w) JOIN unic ON bg.prev = unic.tok, v
 GROUP BY bg.doc_id"""
 
 
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based training-mixture sampling weights per source
+    (weight ∝ n^0.7, normalized — the standard multi-source rebalancing
+    rule)."""
+    from linkgraph.pipeline.text import mixture_weights
+
+    return mixture_weights(load_documents(spark, sf_dir), "source", alpha=0.7)
+
+
+def sql_mixture_weights(alpha: float = 0.7) -> str:
+    return f"""
+WITH g AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+  GROUP BY source),
+s AS (SELECT SUM(POWER(n_docs, {alpha})) AS z FROM g)
+SELECT g.source, g.n_docs,
+       ROUND(POWER(g.n_docs, {alpha}) / s.z, 6) AS weight
+FROM g, s"""
+
+
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.pipeline.dedup import token_jaccard_pairs
 
@@ -2698,6 +2718,7 @@ QUERIES = {
     "doc_pagerank_personalized": q_doc_pagerank_personalized,
     "doc_wcc_threshold": q_doc_wcc_threshold,
     "lm_score": q_lm_score,
+    "mixture_weights": q_mixture_weights,
     "doc_pagerank_weighted": q_doc_pagerank_weighted,
     "doc_pagerank_converged": q_doc_pagerank_converged,
     "doc_dijkstra": q_doc_dijkstra,
@@ -2796,6 +2817,7 @@ ORACLES = {
     "sessionize": sql_sessionize(),
     "pack_sequences": sql_pack_sequences(),
     "lm_score": sql_lm_score(),
+    "mixture_weights": sql_mixture_weights(),
     "mix_report": sql_mix_report(),
     "boilerplate": sql_boilerplate(),
     "winnow": sql_winnow(),

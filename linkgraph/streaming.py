@@ -271,6 +271,34 @@ def stream_sessionize(
     )
 
 
+def stream_lm_score(
+    stream_docs: DataFrame,
+    model: dict,
+    sink_fn,
+    k_smooth: float = 0.5,
+    text_col: str = "text",
+):
+    """Score a document STREAM against a pre-trained static bigram model
+    (``pipeline.text.train_bigram_lm``): every micro-batch is scored with
+    the same batch scorer via foreachBatch — stateless across batches
+    (each document's bigrams live inside its own row), so state never
+    grows. ``sink_fn(scored_df, epoch_id)`` receives each batch's
+    (doc_id, n_bigrams, avg_logprob). Use a CAPPED model (max_bigrams=M,
+    broadcast) so the per-batch join is map-side."""
+    from linkgraph.pipeline.text import score_bigram_lm
+
+    def _batch(df: DataFrame, epoch_id: int) -> None:
+        sink_fn(
+            score_bigram_lm(
+                df, model, k_smooth=k_smooth, text_col=text_col,
+                broadcast_model=True,
+            ),
+            epoch_id,
+        )
+
+    return stream_docs.writeStream.foreachBatch(_batch)
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> list:

@@ -173,3 +173,92 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     )
     want = sorted(map(tuple, sessionize(ev, gap="30 minutes").collect()))
     assert got == want
+
+
+def test_score_bigram_lm_full_model_matches_lm_score(spark):
+    """score_bigram_lm(train_bigram_lm(docs)) is byte-identical to the
+    one-shot lm_score, with and without model broadcast."""
+    from linkgraph.pipeline.text import lm_score, score_bigram_lm, train_bigram_lm
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c a"), (2, "c c b")],
+        "doc_id long, text string",
+    )
+    want = sorted(map(tuple, lm_score(docs).collect()))
+    model = train_bigram_lm(docs)
+    assert sorted(map(tuple, score_bigram_lm(docs, model).collect())) == want
+    got_bc = score_bigram_lm(docs, model, broadcast_model=True)
+    assert sorted(map(tuple, got_bc.collect())) == want
+
+
+def test_score_bigram_lm_capped_model_fallback(spark):
+    """A capped model scores out-of-cap grams through the add-k fallback
+    (count 0) while vocab smoothing mass stays the FULL distinct count."""
+    from linkgraph.pipeline.text import score_bigram_lm, train_bigram_lm
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b"), (1, "c d")], "doc_id long, text string"
+    )
+    # unigrams: a=3, b=3, c=1, d=1; V=4. bigrams: (a,b)=3, (b,a)=2, (c,d)=1
+    model = train_bigram_lm(docs, max_bigrams=2, max_unigrams=2)
+    out = {
+        r["doc_id"]: r
+        for r in score_bigram_lm(docs, model, k_smooth=0.5, broadcast_model=True)
+        .collect()
+    }
+
+    def lp(c2, c1):
+        return math.log((c2 + 0.5) / (c1 + 0.5 * 4))
+
+    # doc 0: all bigrams and unigrams inside the cap
+    exp0 = (lp(3, 3) + lp(2, 3) + lp(3, 3) + lp(2, 3) + lp(3, 3)) / 5
+    assert abs(out[0]["avg_logprob"] - round(exp0, 4)) < 1e-9
+    # doc 1: (c,d) evicted from the bigram cap, c evicted from the unigram
+    # cap -> both counts fall back to 0
+    assert abs(out[1]["avg_logprob"] - round(lp(0, 0), 4)) < 1e-9
+
+
+def test_mixture_weights_hand_computation(spark):
+    from linkgraph.pipeline.text import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(i, "web") for i in range(8)] + [(100 + i, "code") for i in range(1)],
+        "doc_id long, source string",
+    )
+    out = {r["source"]: r for r in mixture_weights(docs, alpha=0.5).collect()}
+    z = 8**0.5 + 1**0.5
+    assert out["web"]["n_docs"] == 8
+    assert abs(out["web"]["weight"] - round(8**0.5 / z, 6)) < 1e-12
+    assert abs(out["code"]["weight"] - round(1 / z, 6)) < 1e-12
+    # alpha=1 is proportional sampling
+    prop = {r["source"]: r["weight"] for r in mixture_weights(docs, alpha=1.0).collect()}
+    assert abs(prop["web"] - round(8 / 9, 6)) < 1e-12
+
+
+def test_stream_lm_score_matches_batch(spark, tmp_path):
+    """Streaming docs scored per micro-batch against a static capped model
+    agree with the batch scorer over the union of batches."""
+    from linkgraph.pipeline.text import score_bigram_lm, train_bigram_lm
+    from linkgraph.streaming import stream_lm_score
+
+    train = spark.createDataFrame(
+        [(0, "a b a b"), (1, "b c b a")], "doc_id long, text string"
+    )
+    model = train_bigram_lm(train, max_bigrams=3)
+    # materialize the model so each micro-batch reuses static tables
+    model = {k: v.cache() for k, v in model.items()}
+    score_docs = spark.createDataFrame(
+        [(10, "a b c"), (11, "b a b a")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "docs")
+    score_docs.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(path)
+    got = []
+
+    def sink(df, epoch_id):
+        got.extend(map(tuple, df.collect()))
+
+    q = stream_lm_score(stream, model, sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+    want = sorted(map(tuple, score_bigram_lm(score_docs, model).collect()))
+    assert sorted(got) == want
