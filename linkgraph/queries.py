@@ -1285,6 +1285,60 @@ SELECT g.source, g.n_docs,
 FROM g, s"""
 
 
+def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi-heavy tokens via Misra-Gries candidates + exact verify —
+    only candidate tokens ever shuffle."""
+    from linkgraph.pipeline.sketch import heavy_hitters
+
+    return heavy_hitters(load_documents(spark, sf_dir), phi=0.02)
+
+
+def sql_token_heavy_hitters(phi: float = 0.02) -> str:
+    return f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+tot AS (SELECT COUNT(*) AS n_total FROM toks)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS count
+FROM toks, tot
+GROUP BY token, tot.n_total
+HAVING COUNT(*) >= {phi} * tot.n_total"""
+
+
+def q_doc_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.graphstats import reciprocity
+
+    return reciprocity(doc_edges(spark, sf_dir))
+
+
+def sql_doc_reciprocity() -> str:
+    return (
+        _PROLOG
+        + """
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM edges e JOIN edges r ON e.src = r.dst AND e.dst = r.src) AS n_reciprocal,
+       ROUND((SELECT CAST(COUNT(*) AS DOUBLE)
+              FROM edges e JOIN edges r ON e.src = r.dst AND e.dst = r.src)
+             / (SELECT COUNT(*) FROM edges), 6) AS reciprocity"""
+    )
+
+
+def q_doc_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.graphstats import degree_assortativity
+
+    return degree_assortativity(doc_edges(spark, sf_dir))
+
+
+def sql_doc_assortativity() -> str:
+    return (
+        _PROLOG
+        + """
+, od AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+idg AS (SELECT dst, COUNT(*) AS idg FROM edges GROUP BY dst)
+SELECT ROUND(CORR(CAST(od.od AS DOUBLE), CAST(idg.idg AS DOUBLE)), 6) AS assortativity
+FROM edges e JOIN od ON e.src = od.src JOIN idg ON e.dst = idg.dst"""
+    )
+
+
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.pipeline.dedup import token_jaccard_pairs
 
@@ -2719,6 +2773,9 @@ QUERIES = {
     "doc_wcc_threshold": q_doc_wcc_threshold,
     "lm_score": q_lm_score,
     "mixture_weights": q_mixture_weights,
+    "token_heavy_hitters": q_token_heavy_hitters,
+    "doc_reciprocity": q_doc_reciprocity,
+    "doc_assortativity": q_doc_assortativity,
     "doc_pagerank_weighted": q_doc_pagerank_weighted,
     "doc_pagerank_converged": q_doc_pagerank_converged,
     "doc_dijkstra": q_doc_dijkstra,
@@ -2818,6 +2875,9 @@ ORACLES = {
     "pack_sequences": sql_pack_sequences(),
     "lm_score": sql_lm_score(),
     "mixture_weights": sql_mixture_weights(),
+    "token_heavy_hitters": sql_token_heavy_hitters(),
+    "doc_reciprocity": sql_doc_reciprocity(),
+    "doc_assortativity": sql_doc_assortativity(),
     "mix_report": sql_mix_report(),
     "boilerplate": sql_boilerplate(),
     "winnow": sql_winnow(),
