@@ -325,6 +325,97 @@ def tfidf_topk(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, token, bm25, rk) — top-``k`` BM25 terms per document
+    (Robertson/Spärck Jones Okapi BM25, Lucene's non-negative idf variant
+    ln(1 + (N - df + 0.5)/(df + 0.5))).
+
+    Scale shape mirrors :func:`tfidf_topk`: token-keyed df join (NOT
+    broadcast — billions of rows at corpus scale), doc-length table joined
+    on the doc key, avg doc length as a broadcast scalar, per-doc top-k
+    window. All JVM codegen.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    df = toks.select("doc_id", "token").distinct().groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    n_docs = docs.count()
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    scored = (
+        tf.join(df, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "doc_id",
+            "token",
+            (idf * (F.col("tf") * (k1 + 1.0)) / norm).alias("_bm25"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_bm25"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "doc_id",
+            "token",
+            F.round("_bm25", 4).alias("bm25"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    k_smooth: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, avg_logprob, bucket) — CCNet-style fluency buckets: score
+    every document with the corpus bigram LM (:func:`lm_score`), then
+    label head/middle/tail by EXACT avg-logprob quantiles (higher logprob
+    = more fluent = head). Single-token documents have no bigrams and are
+    excluded, as in lm_score.
+
+    Scale shape: the two cutpoints are one exact-percentile aggregate
+    (linear-interpolated, matching ANSI quantile_cont) broadcast back as
+    scalars — the labeling pass is map-side. At 100 TB swap in
+    ``approx_percentile`` for the cut computation; the label pass is
+    unchanged.
+    """
+    lo, hi = cuts
+    scored = lm_score(docs, k_smooth=k_smooth, text_col=text_col).select(
+        "doc_id", "avg_logprob"
+    )
+    cutpoints = scored.agg(
+        F.percentile("avg_logprob", F.lit(lo)).alias("c_lo"),
+        F.percentile("avg_logprob", F.lit(hi)).alias("c_hi"),
+    )
+    return scored.crossJoin(F.broadcast(cutpoints)).select(
+        "doc_id",
+        "avg_logprob",
+        F.when(F.col("avg_logprob") >= F.col("c_hi"), F.lit("head"))
+        .when(F.col("avg_logprob") >= F.col("c_lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 def mix_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(source, lang, n_docs, n_tokens, n_chars, avg_tokens) — the
     per-(source, lang) mixture report driving data-mixing decisions.

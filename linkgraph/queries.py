@@ -1265,6 +1265,71 @@ FROM bg JOIN big USING (prev, w) JOIN unic ON bg.prev = unic.tok, v
 GROUP BY bg.doc_id"""
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 Okapi BM25 terms per doc (Lucene idf variant)."""
+    from linkgraph.pipeline.text import bm25_topk
+
+    return bm25_topk(load_documents(spark, sf_dir), k=5)
+
+
+def sql_bm25_topk(k: int = 5, k1: float = 1.2, b: float = 0.75) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY 1),
+df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM toks GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+ad AS (SELECT AVG(dl) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * ({k1} + 1.0))
+           / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)) AS s
+  FROM tf JOIN df USING (token) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN n CROSS JOIN ad)
+SELECT doc_id, token, ROUND(s, 4) AS bm25, rk FROM (
+  SELECT doc_id, token, s,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY s DESC, token ASC) AS INT) AS rk
+  FROM scored)
+WHERE rk <= {k}"""
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail fluency buckets by exact avg-logprob
+    quantiles of the corpus bigram LM score."""
+    from linkgraph.pipeline.text import perplexity_buckets
+
+    return perplexity_buckets(load_documents(spark, sf_dir))
+
+
+def sql_perplexity_buckets(k: float = 0.5) -> str:
+    lo, hi = 1.0 / 3.0, 2.0 / 3.0
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+idx AS (
+  SELECT doc_id, UNNEST(range(1, len(tk))) AS i, tk
+  FROM t WHERE len(tk) >= 2),
+bg AS (SELECT doc_id, tk[i] AS prev, tk[i + 1] AS w FROM idx),
+big AS (SELECT prev, w, COUNT(*) AS c2 FROM bg GROUP BY prev, w),
+uni AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+unic AS (SELECT tok, COUNT(*) AS c1 FROM uni GROUP BY tok),
+v AS (SELECT COUNT(DISTINCT tok) AS nv FROM uni),
+scored AS (
+  SELECT CAST(bg.doc_id AS BIGINT) AS doc_id,
+         ROUND(AVG(ln((c2 + {k}) / (c1 + {k} * v.nv))), 4) AS avg_logprob
+  FROM bg JOIN big USING (prev, w) JOIN unic ON bg.prev = unic.tok, v
+  GROUP BY bg.doc_id),
+cuts AS (SELECT quantile_cont(avg_logprob, {lo}) AS c_lo,
+                quantile_cont(avg_logprob, {hi}) AS c_hi FROM scored)
+SELECT doc_id, avg_logprob,
+       CASE WHEN avg_logprob >= c_hi THEN 'head'
+            WHEN avg_logprob >= c_lo THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored, cuts"""
+
+
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based training-mixture sampling weights per source
     (weight ∝ n^0.7, normalized — the standard multi-source rebalancing
@@ -2776,6 +2841,8 @@ QUERIES = {
     "token_heavy_hitters": q_token_heavy_hitters,
     "doc_reciprocity": q_doc_reciprocity,
     "doc_assortativity": q_doc_assortativity,
+    "bm25_topk": q_bm25_topk,
+    "perplexity_buckets": q_perplexity_buckets,
     "doc_pagerank_weighted": q_doc_pagerank_weighted,
     "doc_pagerank_converged": q_doc_pagerank_converged,
     "doc_dijkstra": q_doc_dijkstra,
@@ -2878,6 +2945,8 @@ ORACLES = {
     "token_heavy_hitters": sql_token_heavy_hitters(),
     "doc_reciprocity": sql_doc_reciprocity(),
     "doc_assortativity": sql_doc_assortativity(),
+    "bm25_topk": sql_bm25_topk(),
+    "perplexity_buckets": sql_perplexity_buckets(),
     "mix_report": sql_mix_report(),
     "boilerplate": sql_boilerplate(),
     "winnow": sql_winnow(),

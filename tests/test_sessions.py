@@ -262,3 +262,52 @@ def test_stream_lm_score_matches_batch(spark, tmp_path):
     q.awaitTermination()
     want = sorted(map(tuple, score_bigram_lm(score_docs, model).collect()))
     assert sorted(got) == want
+
+
+def test_bm25_topk_hand_computation(spark):
+    from linkgraph.pipeline.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(0, "x x y"), (1, "y z")], "doc_id long, text string"
+    )
+    out = {(r["doc_id"], r["token"]): r for r in bm25_topk(docs, k=3).collect()}
+    # N=2, avgdl=2.5; df: x=1, y=2, z=1
+    k1, b = 1.2, 0.75
+
+    def bm25(tf, df, dl):
+        idf = math.log(1 + (2 - df + 0.5) / (df + 0.5))
+        return idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / 2.5))
+
+    assert abs(out[(0, "x")]["bm25"] - round(bm25(2, 1, 3), 4)) < 1e-9
+    assert abs(out[(0, "y")]["bm25"] - round(bm25(1, 2, 3), 4)) < 1e-9
+    assert abs(out[(1, "z")]["bm25"] - round(bm25(1, 1, 2), 4)) < 1e-9
+    # ranking: within doc 0 the rarer, more frequent x outranks y
+    assert out[(0, "x")]["rk"] == 1 and out[(0, "y")]["rk"] == 2
+
+
+def test_perplexity_buckets_ordering_and_sizes(spark):
+    """Buckets are monotone in avg_logprob and split ~ into thirds."""
+    from linkgraph.pipeline.text import lm_score, perplexity_buckets
+
+    texts = []
+    for i in range(30):
+        # vary fluency: repetitive docs (high bigram prob) vs shuffled ones
+        words = ["a", "b"] * 10 if i < 10 else [f"w{i}_{j}" for j in range(20)]
+        if 10 <= i < 20:
+            words = ["a", "b"] * 5 + [f"m{i}_{j}" for j in range(10)]
+        texts.append((i, " ".join(words)))
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    out = perplexity_buckets(docs).collect()
+    assert len(out) == 30
+    rank = {"tail": 0, "middle": 1, "head": 2}
+    rows = sorted(out, key=lambda r: r["avg_logprob"])
+    labels = [rank[r["bucket"]] for r in rows]
+    assert labels == sorted(labels)  # monotone in score
+    from collections import Counter
+
+    sizes = Counter(r["bucket"] for r in out)
+    assert set(sizes) == {"head", "middle", "tail"}
+    assert all(5 <= v <= 15 for v in sizes.values())
+    # scores agree with lm_score
+    lm = {r["doc_id"]: r["avg_logprob"] for r in lm_score(docs).collect()}
+    assert all(abs(lm[r["doc_id"]] - r["avg_logprob"]) < 1e-12 for r in out)
