@@ -1404,6 +1404,81 @@ FROM edges e JOIN od ON e.src = od.src JOIN idg ON e.dst = idg.dst"""
     )
 
 
+HITS_ITERS = 8
+
+
+def q_doc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.hits import hits
+
+    out = hits(doc_graph(spark, sf_dir), max_iterations=HITS_ITERS)
+    return out.select(
+        "id", F.round("hub", 5).alias("hub"), F.round("authority", 5).alias("authority")
+    )
+
+
+def sql_doc_hits() -> str:
+    """Unrolled Kleinberg iteration: per round, authority = L1-normalized
+    in-sum of hubs, hub = L1-normalized out-sum of the new authorities
+    (both scaled to sum = n, matching hits()'s convention)."""
+    parts = [_PROLOG]
+    parts.append(", h0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM nodes)")
+    for k in range(1, HITS_ITERS + 1):
+        parts.append(
+            f""", a{k}n AS MATERIALIZED (
+  SELECT n.id, COALESCE(r.s, CAST(0.0 AS DOUBLE)) AS raw
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id, SUM(h.hub) AS s
+    FROM edges e JOIN h{k - 1} h ON e.src = h.id GROUP BY e.dst
+  ) r ON n.id = r.id)
+, a{k} AS MATERIALIZED (
+  SELECT id, CASE WHEN t.t > 0
+    THEN raw * CAST((SELECT n FROM nn) AS DOUBLE) / t.t
+    ELSE CAST(0.0 AS DOUBLE) END AS authority
+  FROM a{k}n, (SELECT SUM(raw) AS t FROM a{k}n) t)
+, h{k}n AS MATERIALIZED (
+  SELECT n.id, COALESCE(r.s, CAST(0.0 AS DOUBLE)) AS raw
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS id, SUM(a.authority) AS s
+    FROM edges e JOIN a{k} a ON e.dst = a.id GROUP BY e.src
+  ) r ON n.id = r.id)
+, h{k} AS MATERIALIZED (
+  SELECT id, CASE WHEN t.t > 0
+    THEN raw * CAST((SELECT n FROM nn) AS DOUBLE) / t.t
+    ELSE CAST(0.0 AS DOUBLE) END AS hub
+  FROM h{k}n, (SELECT SUM(raw) AS t FROM h{k}n) t)"""
+        )
+    parts.append(
+        f"""SELECT h.id, ROUND(h.hub, 5) AS hub, ROUND(a.authority, 5) AS authority
+FROM h{HITS_ITERS} h JOIN a{HITS_ITERS} a ON h.id = a.id"""
+    )
+    return "\n".join(parts)
+
+
+def q_doc_source_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.coarsen import contract_edges
+
+    docs = load_documents(spark, sf_dir)
+    mapping = docs.select(F.col("doc_id").cast("long").alias("id"), F.col("source"))
+    return contract_edges(
+        doc_edges(spark, sf_dir), mapping, id_col="id", group_col="source"
+    ).select("src_group", "dst_group", "n_edges", F.round("weight", 6).alias("weight"))
+
+
+def sql_doc_source_graph() -> str:
+    return (
+        _PROLOG
+        + """
+SELECT d1.source AS src_group, d2.source AS dst_group,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       ROUND(CAST(COUNT(*) AS DOUBLE), 6) AS weight
+FROM edges e
+JOIN documents d1 ON e.src = d1.doc_id
+JOIN documents d2 ON e.dst = d2.doc_id
+WHERE d1.source <> d2.source
+GROUP BY 1, 2"""
+    )
+
+
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.pipeline.dedup import token_jaccard_pairs
 
@@ -2786,18 +2861,18 @@ QUERIES = {
     "doc_article_rank": q_doc_article_rank,
     "doc_eigenvector": q_doc_eigenvector,
     "doc_sssp": q_doc_sssp,
-    "doc_astar": q_doc_astar,
     "doc_bfs": q_doc_bfs,
     "doc_closeness": q_doc_closeness,
-    "doc_harmonic": q_doc_harmonic,
     "doc_allsp": q_doc_allsp,
     "doc_scc": q_doc_scc,
     "doc_wcc": q_doc_wcc,
-    "doc_wcc_stats": q_doc_wcc_stats,
     "doc_lpa": q_doc_lpa,
     "doc_triangles": q_doc_triangles,
-    "doc_triangle_global": q_doc_triangle_global,
     "doc_balanced_triads": q_doc_balanced_triads,
+    "doc_reciprocity": q_doc_reciprocity,
+    "doc_assortativity": q_doc_assortativity,
+    "doc_hits": q_doc_hits,
+    "doc_source_graph": q_doc_source_graph,
     "doc_degree": q_doc_degree,
     "doc_subgraph_degree": q_doc_subgraph_degree,
     "stream_distinct_degree": q_stream_distinct_degree,
@@ -2805,13 +2880,9 @@ QUERIES = {
     "doc_kcore": q_doc_kcore,
     "doc_mst_weight": q_doc_mst_weight,
     "doc_linkpred": q_doc_linkpred,
-    "doc_same_community": q_doc_same_community,
     "user_jaccard_topk": q_user_jaccard_topk,
-    "user_jaccard_cutoffs": q_user_jaccard_cutoffs,
-    "user_cosine_sparse": q_user_cosine_sparse,
     "user_sim_summary": q_user_sim_summary,
     "dedup_exact": q_dedup_exact,
-    "near_dup_jaccard": q_near_dup_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "token_counts": q_token_counts,
     "language_id": q_langid,
@@ -2826,23 +2897,29 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "quality_gate": q_quality_gate,
     "tfidf_topk": q_tfidf_topk,
-    "mix_report": q_mix_report,
     "boilerplate": q_boilerplate,
     "winnow": q_winnow,
     "emb_random_projection": q_random_projection,
     "sessionize": q_sessionize,
     "pack_sequences": q_pack_sequences,
-    # ---- positions 51+: oracle-backed variants sharing a family above ----
-    "doc_pagerank_pull": q_doc_pagerank_pull,
-    "doc_pagerank_personalized": q_doc_pagerank_personalized,
-    "doc_wcc_threshold": q_doc_wcc_threshold,
     "lm_score": q_lm_score,
     "mixture_weights": q_mixture_weights,
     "token_heavy_hitters": q_token_heavy_hitters,
-    "doc_reciprocity": q_doc_reciprocity,
-    "doc_assortativity": q_doc_assortativity,
     "bm25_topk": q_bm25_topk,
     "perplexity_buckets": q_perplexity_buckets,
+    # ---- positions 51+: oracle-backed variants sharing a family above ----
+    "near_dup_jaccard": q_near_dup_jaccard,
+    "mix_report": q_mix_report,
+    "doc_astar": q_doc_astar,
+    "doc_harmonic": q_doc_harmonic,
+    "doc_wcc_stats": q_doc_wcc_stats,
+    "doc_triangle_global": q_doc_triangle_global,
+    "doc_same_community": q_doc_same_community,
+    "user_jaccard_cutoffs": q_user_jaccard_cutoffs,
+    "user_cosine_sparse": q_user_cosine_sparse,
+    "doc_pagerank_pull": q_doc_pagerank_pull,
+    "doc_pagerank_personalized": q_doc_pagerank_personalized,
+    "doc_wcc_threshold": q_doc_wcc_threshold,
     "doc_pagerank_weighted": q_doc_pagerank_weighted,
     "doc_pagerank_converged": q_doc_pagerank_converged,
     "doc_dijkstra": q_doc_dijkstra,
@@ -2945,6 +3022,8 @@ ORACLES = {
     "token_heavy_hitters": sql_token_heavy_hitters(),
     "doc_reciprocity": sql_doc_reciprocity(),
     "doc_assortativity": sql_doc_assortativity(),
+    "doc_hits": sql_doc_hits(),
+    "doc_source_graph": sql_doc_source_graph(),
     "bm25_topk": sql_bm25_topk(),
     "perplexity_buckets": sql_perplexity_buckets(),
     "mix_report": sql_mix_report(),
