@@ -111,6 +111,9 @@ def main() -> None:
     timed("sessionize", Q.q_sessionize)
     timed("pack_sequences", Q.q_pack_sequences)
     timed("lm_score", Q.q_lm_score)
+    timed("doc_hits", Q.q_doc_hits)
+    timed("doc_ktruss", Q.q_doc_ktruss)
+    timed("doc_source_graph", Q.q_doc_source_graph)
 
     canary_mid = host_canary()
 

