@@ -98,5 +98,6 @@ def k_truss(graph: Graph, k: int = 4, max_rounds: int = 30) -> DataFrame:
     # the reported support matches the returned subgraph
     out = sup.filter(F.col("support") >= k - 2) if converged else _support(ce)
     out.rounds = rounds  # type: ignore[attr-defined]
+    out.iterations = rounds  # type: ignore[attr-defined]
     out.did_converge = converged  # type: ignore[attr-defined]
     return out

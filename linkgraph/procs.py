@@ -143,6 +143,8 @@ _WRITE_MODE = {
     "algo.triangleCount": "triangleCount",
     "algo.kcore": "kcore",
     "algo.kcore.coreness": "kcoreCoreness",
+    "algo.hits": "hits",
+    "algo.ktruss": "ktruss",
     "algo.spanningTree.minimum": "spanningTree",
     "algo.spanningTree.maximum": "spanningTree",
 }

@@ -95,6 +95,33 @@ def _spanning_extras(result: DataFrame) -> dict:
 
 
 # algo key → (callable path on the result, extras fn)
+def _hits_extras(result: DataFrame) -> dict:
+    row = result.agg(
+        F.max("hub").alias("mh"), F.max("authority").alias("ma")
+    ).first()
+    return {
+        "maxHub": float(row["mh"] if row["mh"] is not None else 0.0),
+        "maxAuthority": float(row["ma"] if row["ma"] is not None else 0.0),
+    }
+
+
+def _ktruss_extras(result: DataFrame) -> dict:
+    nodes = (
+        result.select(F.col("src").alias("i"))
+        .unionByName(result.select(F.col("dst").alias("i")))
+        .distinct()
+        .count()
+    )
+    row = result.agg(
+        F.count(F.lit(1)).alias("m"), F.min("support").alias("ms")
+    ).first()
+    return {
+        "edgeCount": int(row["m"] or 0),
+        "effectiveNodeCount": int(nodes),
+        "minSupport": int(row["ms"] if row["ms"] is not None else 0),
+    }
+
+
 _EXTRAS = {
     "unionFind": lambda r: _component_extras(r, "component"),
     "scc": lambda r: _component_extras(r, "component"),
@@ -108,6 +135,8 @@ _EXTRAS = {
     "kcore": _kcore_extras,
     "kcoreCoreness": _coreness_extras,
     "spanningTree": _spanning_extras,
+    "hits": _hits_extras,
+    "ktruss": _ktruss_extras,
 }
 
 

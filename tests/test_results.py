@@ -211,3 +211,32 @@ def test_betweenness_stats_row(spark, tmp_path):
     )
     assert r["maxCentrality"] >= r["minCentrality"] >= 0.0
     assert r["sumCentrality"] > 0.0
+
+
+def test_hits_stats_row(spark):
+    from linkgraph.algorithms.hits import hits
+
+    g = _graph(spark)
+    r = _row(run_write_proc("hits", g, lambda g_: hits(g_, max_iterations=5)))
+    assert r["iterations"] == 5
+    assert r["maxHub"] > 0.0 and r["maxAuthority"] > 0.0
+
+
+def test_ktruss_stats_row(spark):
+    from linkgraph.algorithms.ktruss import k_truss
+
+    g = _graph(spark)
+    r = _row(run_write_proc("ktruss", g, lambda g_: k_truss(g_, k=3)))
+    assert r["didConverge"]
+    # the 3-truss of two triangles + bridge keeps exactly the 6 triangle edges
+    assert r["edgeCount"] == 6
+    assert r["effectiveNodeCount"] == 6
+    assert r["minSupport"] == 1
+
+
+def test_procs_call_write_mode_hits(spark):
+    from linkgraph.procs import call
+
+    g = _graph(spark)
+    r = _row(call("algo.hits", g, max_iterations=3, write=True))
+    assert r["maxHub"] > 0.0
