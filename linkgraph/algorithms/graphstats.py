@@ -41,6 +41,28 @@ def reciprocity(edges: DataFrame, ndigits: int = 6) -> DataFrame:
     )
 
 
+def degree_histogram(edges: DataFrame, direction: str = "out") -> DataFrame:
+    """→ (bucket, n_nodes, min_degree, max_degree): log2-bucketed degree
+    distribution (bucket b covers degrees [2^b, 2^b+1)), the first plot of
+    any web-graph power-law analysis. Bucket index is computed as the
+    bit length of the integer degree (``length(bin(d)) − 1``) — exact in
+    integer arithmetic, immune to the float-log2-at-powers-of-two pitfall,
+    and expressible identically in ANSI SQL. One groupBy on the edge key +
+    one tiny groupBy on ≤64 buckets; no UDFs.
+    """
+    key = "src" if direction == "out" else "dst"
+    deg = edges.groupBy(key).agg(F.count(F.lit(1)).alias("d"))
+    return (
+        deg.select((F.length(F.bin(F.col("d"))) - 1).cast("long").alias("bucket"), "d")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("d").cast("long").alias("min_degree"),
+            F.max("d").cast("long").alias("max_degree"),
+        )
+    )
+
+
 def degree_assortativity(edges: DataFrame, ndigits: int = 6) -> DataFrame:
     """→ one row (assortativity): Pearson correlation, over directed
     edges, of the source's out-degree with the destination's in-degree

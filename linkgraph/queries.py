@@ -1528,6 +1528,90 @@ GROUP BY 1, 2"""
     )
 
 
+SRC_PR_ITERS = 10
+
+
+def q_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: contract the doc graph to source level, then WEIGHTED
+    PageRank over the contracted multigraph (weight = collapsed edge
+    count) — the page→host→host-rank ladder of web link analysis."""
+    from linkgraph.algorithms.coarsen import contract_edges
+    from linkgraph.algorithms.pagerank import PageRank
+
+    from linkgraph.graph import Graph
+
+    docs = load_documents(spark, sf_dir)
+    mapping = docs.select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.regexp_extract("source", r"(\d+)", 1).cast("long").alias("sid"),
+    )
+    ce = contract_edges(
+        doc_edges(spark, sf_dir), mapping, id_col="id", group_col="sid"
+    ).select(
+        F.col("src_group").alias("src"),
+        F.col("dst_group").alias("dst"),
+        F.col("weight"),
+    )
+    nodes = mapping.select(F.col("sid").alias("id")).distinct()
+    g = Graph.from_edges(ce, nodes=nodes)
+    ranks = PageRank(
+        damping=DAMPING, max_iterations=SRC_PR_ITERS, weighted=True, strategy="csr"
+    ).run(g)
+    return ranks.select(
+        F.col("id").alias("source_id"), F.round("rank", 5).alias("rank")
+    )
+
+
+def sql_source_pagerank() -> str:
+    parts = [_PROLOG]
+    parts.append(
+        """, smap AS MATERIALIZED (
+  SELECT doc_id, CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) AS sid
+  FROM documents)
+, sedges AS MATERIALIZED (
+  SELECT m1.sid AS src, m2.sid AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM edges e JOIN smap m1 ON e.src = m1.doc_id
+               JOIN smap m2 ON e.dst = m2.doc_id
+  WHERE m1.sid <> m2.sid GROUP BY 1, 2)
+, snodes AS (SELECT DISTINCT sid AS id FROM smap)
+, swsum AS MATERIALIZED (SELECT src, SUM(w) AS wsum FROM sedges GROUP BY src)
+, sr0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM snodes)"""
+    )
+    for k in range(1, SRC_PR_ITERS + 1):
+        parts.append(
+            f""", sr{k} AS MATERIALIZED (
+  SELECT n.id, {_ONE_MINUS_D} + {_D} * COALESCE(c.s, CAST(0.0 AS DOUBLE)) AS rank
+  FROM snodes n LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank * e.w / o.wsum) AS s
+    FROM sedges e JOIN sr{k - 1} r ON e.src = r.id JOIN swsum o ON e.src = o.src
+    GROUP BY e.dst
+  ) c ON n.id = c.id)"""
+        )
+    parts.append(
+        f"SELECT id AS source_id, ROUND(rank, 5) AS rank FROM sr{SRC_PR_ITERS}"
+    )
+    return "\n".join(parts)
+
+
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.graphstats import degree_histogram
+
+    return degree_histogram(doc_edges(spark, sf_dir))
+
+
+def sql_degree_histogram() -> str:
+    return (
+        _PROLOG
+        + """
+, od AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)
+SELECT CAST(LENGTH(BIN(d)) - 1 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(d) AS BIGINT) AS min_degree,
+       CAST(MAX(d) AS BIGINT) AS max_degree
+FROM od GROUP BY 1"""
+    )
+
+
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.pipeline.dedup import token_jaccard_pairs
 
@@ -2907,7 +2991,7 @@ QUERIES = {
     # oracles and are verifiable via tools/check_contract.py.
     # ------------------------------------------------------------------
     "doc_pagerank": q_doc_pagerank,
-    "doc_article_rank": q_doc_article_rank,
+    "source_pagerank": q_source_pagerank,
     "doc_sssp": q_doc_sssp,
     "doc_bfs": q_doc_bfs,
     "doc_closeness": q_doc_closeness,
@@ -2918,7 +3002,7 @@ QUERIES = {
     "doc_triangles": q_doc_triangles,
     "doc_balanced_triads": q_doc_balanced_triads,
     "doc_reciprocity": q_doc_reciprocity,
-    "doc_assortativity": q_doc_assortativity,
+    "degree_histogram": q_degree_histogram,
     "doc_hits": q_doc_hits,
     "doc_source_graph": q_doc_source_graph,
     "doc_degree": q_doc_degree,
@@ -2959,6 +3043,8 @@ QUERIES = {
     # ---- positions 51+: oracle-backed variants sharing a family above ----
     "near_dup_jaccard": q_near_dup_jaccard,
     "mix_report": q_mix_report,
+    "doc_article_rank": q_doc_article_rank,
+    "doc_assortativity": q_doc_assortativity,
     "doc_eigenvector": q_doc_eigenvector,
     "doc_astar": q_doc_astar,
     "doc_harmonic": q_doc_harmonic,
@@ -3075,6 +3161,8 @@ ORACLES = {
     "doc_hits": sql_doc_hits(),
     "doc_source_graph": sql_doc_source_graph(),
     "doc_ktruss": sql_doc_ktruss(),
+    "source_pagerank": sql_source_pagerank(),
+    "degree_histogram": sql_degree_histogram(),
     "bm25_topk": sql_bm25_topk(),
     "perplexity_buckets": sql_perplexity_buckets(),
     "mix_report": sql_mix_report(),

@@ -78,3 +78,22 @@ def test_contract_edges_groups(spark):
     got2 = {(r["src_group"], r["dst_group"]): r["n_edges"]
             for r in with_loops.collect()}
     assert got2 == {("a", "a"): 1, ("a", "b"): 2, ("b", "a"): 1, ("b", "b"): 1}
+
+
+def test_degree_histogram_hand_computed(spark):
+    from linkgraph.algorithms.graphstats import degree_histogram
+
+    # out-degrees: 0→3 edges, 1→1, 2→4  ⇒ buckets: 3→b1, 1→b0, 4→b2
+    edges = edges_df(
+        spark,
+        [(0, 1, 1.0), (0, 2, 1.0), (0, 3, 1.0),
+         (1, 2, 1.0),
+         (2, 0, 1.0), (2, 1, 1.0), (2, 3, 1.0), (2, 4, 1.0)],
+    )
+    got = {r["bucket"]: (r["n_nodes"], r["min_degree"], r["max_degree"])
+           for r in degree_histogram(edges).collect()}
+    assert got == {0: (1, 1, 1), 1: (1, 3, 3), 2: (1, 4, 4)}
+    got_in = {r["bucket"]: r["n_nodes"]
+              for r in degree_histogram(edges, direction="in").collect()}
+    # in-degrees: 1→2, 2→2, 3→2, 0→1, 4→1 ⇒ bucket0: 2 nodes, bucket1: 3
+    assert got_in == {0: 2, 1: 3}
