@@ -1612,6 +1612,43 @@ FROM od GROUP BY 1"""
     )
 
 
+PMI_K = 100
+PMI_MIN_DF = 5
+
+
+def q_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.pipeline.cooccur import pmi_topk
+
+    return pmi_topk(load_documents(spark, sf_dir), k=PMI_K, min_df=PMI_MIN_DF)
+
+
+def sql_pmi_topk() -> str:
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+dtok AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u
+  WHERE tok <> ''),
+band AS MATERIALIZED (
+  SELECT tok, COUNT(*) AS df FROM dtok GROUP BY tok HAVING COUNT(*) >= {PMI_MIN_DF}),
+dt AS MATERIALIZED (
+  SELECT d.doc_id, d.tok, b.df FROM dtok d JOIN band b ON d.tok = b.tok),
+pairs AS (
+  SELECT x.tok AS tok_a, y.tok AS tok_b, x.df AS n_a, y.df AS n_b,
+         COUNT(*) AS n_ab
+  FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.tok < y.tok
+  GROUP BY 1, 2, 3, 4)
+SELECT tok_a, tok_b,
+       CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       ROUND(LN(CAST(n_ab AS DOUBLE) * (SELECT n FROM nn)
+                / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 5) AS pmi
+FROM pairs
+ORDER BY pmi DESC, tok_a, tok_b
+LIMIT {PMI_K}"""
+
+
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.pipeline.dedup import token_jaccard_pairs
 
@@ -3021,7 +3058,7 @@ QUERIES = {
     "language_id": q_langid,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_near_dup": q_emb_near_dup,
-    "emb_cosine_procs": q_emb_cosine_procs,
+    "pmi_topk": q_pmi_topk,
     "scalar_functions": q_scalar_functions,
     "rel_dedup_sum": q_rel_dedup_sum,
     "pii_scan": q_pii_scan,
@@ -3043,6 +3080,7 @@ QUERIES = {
     # ---- positions 51+: oracle-backed variants sharing a family above ----
     "near_dup_jaccard": q_near_dup_jaccard,
     "mix_report": q_mix_report,
+    "emb_cosine_procs": q_emb_cosine_procs,
     "doc_article_rank": q_doc_article_rank,
     "doc_assortativity": q_doc_assortativity,
     "doc_eigenvector": q_doc_eigenvector,
@@ -3163,6 +3201,7 @@ ORACLES = {
     "doc_ktruss": sql_doc_ktruss(),
     "source_pagerank": sql_source_pagerank(),
     "degree_histogram": sql_degree_histogram(),
+    "pmi_topk": sql_pmi_topk(),
     "bm25_topk": sql_bm25_topk(),
     "perplexity_buckets": sql_perplexity_buckets(),
     "mix_report": sql_mix_report(),
