@@ -114,6 +114,11 @@ def main() -> None:
     timed("doc_hits", Q.q_doc_hits)
     timed("doc_ktruss", Q.q_doc_ktruss)
     timed("doc_source_graph", Q.q_doc_source_graph)
+    timed("span_dedup", Q.q_span_dedup)
+    timed("vocab_stats", Q.q_vocab_stats)
+    timed("moore_lewis", Q.q_moore_lewis)
+    timed("pmi_topk", Q.q_pmi_topk)
+    timed("doc_anf", Q.q_doc_anf)
 
     canary_mid = host_canary()
 

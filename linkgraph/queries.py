@@ -1649,6 +1649,157 @@ ORDER BY pmi DESC, tok_a, tok_b
 LIMIT {PMI_K}"""
 
 
+def q_doc_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF/HyperANF neighborhood function of the doc graph — FM bitmask
+    sketches, one bit_or shuffle per hop (rows-only: iterative sketch union
+    is not SQL-expressible; exactness goldens live in tests/test_anf.py)."""
+    from linkgraph.algorithms.anf import neighborhood_function
+
+    return neighborhood_function(doc_graph(spark, sf_dir), max_h=16, num_trials=16)
+
+
+SPAN_W = 8
+SPAN_K = 100
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top duplicated 8-token spans across documents (Lee et al. 2022
+    substring dedup, window-hash formulation) — linear token scan, one
+    shuffle on 8-byte keys, TakeOrderedAndProject top-k."""
+    from linkgraph.pipeline.spans import duplicated_spans_topk
+
+    return duplicated_spans_topk(load_documents(spark, sf_dir), width=SPAN_W, k=SPAN_K)
+
+
+def sql_span_dedup() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+wins AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= {SPAN_W}
+                THEN list_transform(range(1, len(t) - {SPAN_W} + 2),
+                                    i -> array_to_string(t[i:i+{SPAN_W}-1], ' '))
+                ELSE [] END) AS span
+  FROM toks)
+SELECT span,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM wins GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, span LIMIT {SPAN_K}"""
+
+
+def q_span_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span share — the Lee-et-al. quality-gate
+    signal; two linear passes, hashes (not span text) through the shuffle."""
+    from linkgraph.pipeline.spans import span_dup_fraction
+
+    return span_dup_fraction(load_documents(spark, sf_dir), width=SPAN_W)
+
+
+def sql_span_dup_fraction() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+wins AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= {SPAN_W}
+                THEN list_transform(range(1, len(t) - {SPAN_W} + 2),
+                                    i -> array_to_string(t[i:i+{SPAN_W}-1], ' '))
+                ELSE [] END) AS span
+  FROM toks),
+dup AS (SELECT span FROM wins GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+per AS (
+  SELECT w.doc_id, COUNT(*) AS n_windows,
+         SUM(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+  FROM wins w LEFT JOIN dup d USING (span) GROUP BY w.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       ROUND(CASE WHEN COALESCE(p.n_windows, 0) > 0
+                  THEN CAST(COALESCE(p.n_dup, 0) AS DOUBLE) / p.n_windows
+                  ELSE 0.0 END, 5) AS dup_fraction
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id"""
+
+
+ZIPF_TOP = 1000
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus vocabulary health report incl. closed-form Zipf
+    slope over the top-1000 types."""
+    from linkgraph.pipeline.vocab import vocab_stats
+
+    return vocab_stats(load_documents(spark, sf_dir), zipf_top=ZIPF_TOP)
+
+
+def sql_vocab_stats() -> str:
+    return f"""
+WITH tk AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+freqs AS (
+  SELECT tok, COUNT(*) AS freq FROM tk WHERE tok <> '' GROUP BY tok),
+totals AS (
+  SELECT SUM(freq) AS n_tokens, COUNT(*) AS n_types,
+         SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS n_hapax
+  FROM freqs),
+top AS (
+  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS r
+  FROM freqs QUALIFY r <= {ZIPF_TOP}),
+slope AS (
+  SELECT COVAR_SAMP(LN(r), LN(freq)) / VAR_SAMP(LN(r)) AS zipf_slope FROM top)
+SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       ROUND(CAST(n_types AS DOUBLE) / n_tokens, 5) AS type_token_ratio,
+       CAST(n_hapax AS BIGINT) AS n_hapax,
+       ROUND(CAST(n_hapax AS DOUBLE) / n_types, 5) AS hapax_share,
+       ROUND(zipf_slope, 5) AS zipf_slope
+FROM totals, slope"""
+
+
+ML_SOURCE = "src0"
+ML_K = 200
+ML_ALPHA = 0.5
+
+
+def q_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore-Lewis cross-entropy-difference data selection: rank pool docs
+    by in-domain-ness vs the 'src0' seed slice — broadcast LM join over a
+    linear token scan."""
+    from linkgraph.pipeline.vocab import moore_lewis_scores
+
+    return moore_lewis_scores(
+        load_documents(spark, sf_dir), ML_SOURCE, k=ML_K, alpha=ML_ALPHA
+    )
+
+
+def sql_moore_lewis() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+in_ids AS (SELECT doc_id FROM documents WHERE source = '{ML_SOURCE}'),
+pool AS (SELECT tok, COUNT(*) AS pf FROM toks GROUP BY tok),
+ind AS (
+  SELECT tok, COUNT(*) AS inf_ FROM toks JOIN in_ids USING (doc_id)
+  GROUP BY tok),
+vocab AS (
+  SELECT p.tok, p.pf, COALESCE(i.inf_, 0) AS inf_
+  FROM pool p LEFT JOIN ind i USING (tok)),
+sizes AS (SELECT SUM(pf) AS pn, SUM(inf_) AS inn, COUNT(*) AS v FROM vocab),
+lm AS (
+  SELECT tok,
+         LN((inf_ + {ML_ALPHA}) / (inn + {ML_ALPHA} * v))
+       - LN((pf + {ML_ALPHA}) / (pn + {ML_ALPHA} * v)) AS llr
+  FROM vocab, sizes),
+sc AS (
+  SELECT t.doc_id, COUNT(*) AS n_toks, ROUND(AVG(llr), 5) AS score
+  FROM toks t JOIN lm USING (tok)
+  WHERE t.doc_id NOT IN (SELECT doc_id FROM in_ids)
+  GROUP BY t.doc_id)
+SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks, score
+FROM sc ORDER BY score DESC, doc_id LIMIT {ML_K}"""
+
+
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.pipeline.dedup import token_jaccard_pairs
 
@@ -3062,7 +3213,7 @@ QUERIES = {
     "scalar_functions": q_scalar_functions,
     "rel_dedup_sum": q_rel_dedup_sum,
     "pii_scan": q_pii_scan,
-    "ngram_repetition": q_ngram_repetition,
+    "span_dedup": q_span_dedup,
     "contamination": q_contamination,
     "stratified_sample": q_stratified_sample,
     "quality_gate": q_quality_gate,
@@ -3075,11 +3226,16 @@ QUERIES = {
     "lm_score": q_lm_score,
     "mixture_weights": q_mixture_weights,
     "token_heavy_hitters": q_token_heavy_hitters,
-    "bm25_topk": q_bm25_topk,
-    "perplexity_buckets": q_perplexity_buckets,
+    "vocab_stats": q_vocab_stats,
+    "moore_lewis": q_moore_lewis,
     # ---- positions 51+: oracle-backed variants sharing a family above ----
     "near_dup_jaccard": q_near_dup_jaccard,
     "mix_report": q_mix_report,
+    "ngram_repetition": q_ngram_repetition,
+    "bm25_topk": q_bm25_topk,
+    "perplexity_buckets": q_perplexity_buckets,
+    "span_dup_fraction": q_span_dup_fraction,
+    "doc_anf": q_doc_anf,
     "emb_cosine_procs": q_emb_cosine_procs,
     "doc_article_rank": q_doc_article_rank,
     "doc_assortativity": q_doc_assortativity,
@@ -3209,6 +3365,10 @@ ORACLES = {
     "winnow": sql_winnow(),
     "emb_random_projection": sql_random_projection(),
     "near_dup_jaccard": sql_near_dup_jaccard(),
+    "span_dedup": sql_span_dedup(),
+    "span_dup_fraction": sql_span_dup_fraction(),
+    "vocab_stats": sql_vocab_stats(),
+    "moore_lewis": sql_moore_lewis(),
     "emb_cosine_topk": sql_emb_cosine_topk(),
     "emb_cosine_procs": sql_emb_cosine_procs(),
     "emb_euclidean_procs": sql_emb_euclidean_procs(),
