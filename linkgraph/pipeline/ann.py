@@ -529,3 +529,157 @@ def pq_topk_ivf(
     c = corpus_codes.select(F.col("id").alias("b"), "codes", "cell")
     pairs = qa.join(c, "cell").filter(F.col("a") != F.col("b"))
     return _adc_topk(pairs, codebooks, k, anchors=anchors, residual=residual)
+
+
+# ------------------------------------------------------------------ SQ8
+# Scalar quantization: each float compresses to one byte with per-dimension
+# min/max scaling (the FAISS ScalarQuantizer QT_8bit recipe) — a 4x memory/
+# shuffle reduction that, unlike PQ, keeps scoring EXACTLY reproducible in
+# plain SQL (integer dot products over deterministically rounded codes), so
+# the whole path is oracle-checkable end to end.
+
+
+def sq8_bounds(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(dim, lo, hi) per dimension over the corpus — one posexplode +
+    groupBy with map-side partial min/max; linear in corpus size."""
+    return (
+        corpus.select(F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("lo"),
+            F.max(F.col("x").cast("double")).alias("hi"),
+        )
+    )
+
+
+def _sq8_literal_bounds(bounds: DataFrame):
+    rows = sorted(bounds.collect(), key=lambda r: r["dim"])
+    lo = F.array(*[F.lit(float(r["lo"])) for r in rows])
+    hi = F.array(*[F.lit(float(r["hi"])) for r in rows])
+    return lo, hi
+
+
+def sq8_encode(
+    vectors: DataFrame,
+    bounds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes: array<int>) — code_d = floor((x−lo_d)/(hi_d−lo_d)·255
+    + 0.5) clamped to [0, 255]; a constant dimension (hi == lo) encodes 0.
+
+    The per-dim bounds are dim-sized — collected once and inlined as array
+    LITERALS so encoding is pure whole-stage codegen (zip_with twice); the
+    corpus never joins against the bounds table."""
+    lo, hi = _sq8_literal_bounds(bounds)
+    shifted = F.zip_with(F.col(vec_col), lo, lambda x, l: x.cast("double") - l)
+    span = F.zip_with(hi, lo, lambda h, l: h - l)
+    codes = F.zip_with(
+        shifted,
+        span,
+        lambda s, sp: F.when(sp > 0,
+            F.least(
+                F.lit(255),
+                F.greatest(F.lit(0), F.floor(s / sp * 255.0 + 0.5).cast("int")),
+            ),
+        ).otherwise(F.lit(0)).cast("int"),
+    )
+    return vectors.select(F.col(id_col).alias("id"), codes.alias("codes"))
+
+
+def sq8_decode(
+    codes: DataFrame, bounds: DataFrame, codes_col: str = "codes"
+) -> DataFrame:
+    """Adds ``decoded: array<double>`` — x̂_d = lo_d + code_d/255·span_d,
+    the reconstruction FAISS scores against. Pure codegen (two zip_withs
+    over literal bounds arrays)."""
+    lo, hi = _sq8_literal_bounds(bounds)
+    span = F.zip_with(hi, lo, lambda h, l: h - l)
+    scaled = F.zip_with(
+        F.col(codes_col), span, lambda c, sp: c.cast("double") / 255.0 * sp
+    )
+    return codes.withColumn("decoded", F.zip_with(scaled, lo, lambda v, l: v + l))
+
+
+def sq8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bounds: DataFrame | None = None,
+) -> DataFrame:
+    """(a, b, qcos) — top-k corpus neighbors per query by ASYMMETRIC
+    SQ8 cosine: the query stays float, the corpus vector is reconstructed
+    from its byte codes (x̂ = lo + c/255·span) — the FAISS ScalarQuantizer
+    scoring recipe. Ranking uses the 4-digit-rounded cosine + id tie-break
+    (reproducible across engines; identical per-element fold order makes
+    the decode+cosine arithmetic itself engine-exact).
+
+    Brute-force layout mirrors cosine_topk_bruteforce (broadcast corpus
+    codes at 1/4 the float bytes); compose with IVF cells exactly like
+    pq_topk_ivf when the corpus outgrows a broadcast."""
+    if bounds is None:
+        bounds = sq8_bounds(corpus, id_col, vec_col)
+    a = queries.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    cb = sq8_decode(sq8_encode(corpus, bounds, id_col, vec_col), bounds).select(
+        F.col("id").alias("b"), F.col("decoded").alias("vb")
+    )
+    pairs = a.crossJoin(F.broadcast(cb)).filter(F.col("a") != F.col("b"))
+    scored = pairs.select(
+        "a",
+        "b",
+        F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), 4).alias("qcos"),
+    )
+    win = Window.partitionBy("a").orderBy(F.desc("qcos"), F.asc("b"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .select("a", "b", "qcos")
+    )
+
+
+def sq8_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+    bounds: DataFrame | None = None,
+) -> DataFrame:
+    """IVF∘SQ8 top-k: coarse-cell pruning composed in front of the integer
+    quantized-dot re-rank — same structure as :func:`pq_topk_ivf` (queries
+    probe ``nprobe`` cells, corpus rows live in exactly one cell, the join
+    is an equi-join on cell id), but candidates score with the asymmetric
+    SQ8 cosine (float query × decoded corpus bytes) instead of an ADC LUT.
+    The pruned scan is what survives a 10⁹-vector corpus; the byte codes
+    are what keep its shuffle 4× smaller than raw floats."""
+    if bounds is None:
+        bounds = sq8_bounds(corpus, id_col, vec_col)
+    ca = ivf_assign_multi(queries, centroids, nprobe, id_col, vec_col).select(
+        F.col("id").alias("a"), F.col("v").alias("va"), "cell"
+    )
+    cells = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col("id").alias("b"), "cell"
+    )
+    cb = (
+        sq8_decode(sq8_encode(corpus, bounds, id_col, vec_col), bounds)
+        .select(F.col("id").alias("b"), F.col("decoded").alias("vb"))
+        .join(cells, "b")
+    )
+    pairs = ca.join(cb, "cell").filter(F.col("a") != F.col("b"))
+    scored = pairs.select(
+        "a",
+        "b",
+        F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), 4).alias("qcos"),
+    )
+    win = Window.partitionBy("a").orderBy(F.desc("qcos"), F.asc("b"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .select("a", "b", "qcos")
+    )

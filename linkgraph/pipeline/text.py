@@ -385,27 +385,37 @@ def perplexity_buckets(
     cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
     k_smooth: float = 0.5,
     text_col: str = "text",
+    exact: bool = True,
+    approx_accuracy: int = 10000,
 ) -> DataFrame:
     """(doc_id, avg_logprob, bucket) — CCNet-style fluency buckets: score
     every document with the corpus bigram LM (:func:`lm_score`), then
-    label head/middle/tail by EXACT avg-logprob quantiles (higher logprob
+    label head/middle/tail by avg-logprob quantiles (higher logprob
     = more fluent = head). Single-token documents have no bigrams and are
     excluded, as in lm_score.
 
-    Scale shape: the two cutpoints are one exact-percentile aggregate
-    (linear-interpolated, matching ANSI quantile_cont) broadcast back as
-    scalars — the labeling pass is map-side. At 100 TB swap in
-    ``approx_percentile`` for the cut computation; the label pass is
-    unchanged.
+    Scale shape: the two cutpoints are one percentile aggregate broadcast
+    back as scalars — the labeling pass is map-side. ``exact=True`` uses
+    the exact linear-interpolated percentile (ANSI quantile_cont parity —
+    the oracle-gated mode; requires a sort of the score column).
+    ``exact=False`` is the 100 TB mode: ``approx_percentile`` (mergeable
+    Greenwald-Khanna sketch, no global sort; rank error ≤ 1/accuracy) —
+    same plan shape, sketch-sized driver traffic.
     """
     lo, hi = cuts
     scored = lm_score(docs, k_smooth=k_smooth, text_col=text_col).select(
         "doc_id", "avg_logprob"
     )
-    cutpoints = scored.agg(
-        F.percentile("avg_logprob", F.lit(lo)).alias("c_lo"),
-        F.percentile("avg_logprob", F.lit(hi)).alias("c_hi"),
-    )
+    if exact:
+        cutpoints = scored.agg(
+            F.percentile("avg_logprob", F.lit(lo)).alias("c_lo"),
+            F.percentile("avg_logprob", F.lit(hi)).alias("c_hi"),
+        )
+    else:
+        cutpoints = scored.agg(
+            F.percentile_approx("avg_logprob", F.lit(lo), F.lit(approx_accuracy)).alias("c_lo"),
+            F.percentile_approx("avg_logprob", F.lit(hi), F.lit(approx_accuracy)).alias("c_hi"),
+        )
     return scored.crossJoin(F.broadcast(cutpoints)).select(
         "doc_id",
         "avg_logprob",

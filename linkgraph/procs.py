@@ -63,6 +63,8 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "algo.asNode": ("linkgraph.functions.nodes.as_node", "rehydrate node properties onto a result stream"),
     "algo.asNodes": ("linkgraph.functions.nodes.as_nodes", "rehydrate an array of node ids"),
     "algo.getNodesById": ("linkgraph.functions.nodes.get_nodes_by_id", "node rows for given ids"),
+    "algo.anf": ("linkgraph.algorithms.anf.neighborhood_function", "ANF neighborhood function N(h) via FM bit_or sketches (engine-added; HyperANF analogue)"),
+    "algo.anf.effectiveDiameter": ("linkgraph.algorithms.anf.effective_diameter", "effective diameter (q-quantile of N(h), interpolated)"),
     "algo.memrec": ("linkgraph.procs.memrec", "memory estimate for an algorithm over a graph"),
     "algo.graph.load": ("linkgraph.catalog.GraphCatalog.load", "named graph catalog: load/info/list/remove/save"),
 }
@@ -104,6 +106,7 @@ _MEMREC_PER_ALGO = {
     "kcore": (2 * 8, 2 * 2 * 8),        # est/core labels / symmetric edges
     "kcorecoreness": (2 * 8, 2 * 2 * 8),
     "hits": (3 * 8, 2 * 8),             # hub+auth+raw / edge rows
+    "anf": (16 * 8 * 2, 8),             # R=16 masks ×(old+new) / edge keys
     "ktruss": (2 * 8, 3 * 2 * 8),       # degree keys / oriented+support rows
 }
 

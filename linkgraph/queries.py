@@ -1649,6 +1649,46 @@ ORDER BY pmi DESC, tok_a, tok_b
 LIMIT {PMI_K}"""
 
 
+def q_emb_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized top-k (FAISS QT_8bit recipe): asymmetric
+    cosine of float queries against byte-decoded corpus vectors — 4x
+    memory/shuffle reduction on the corpus side, with the ENTIRE path
+    (quantize → decode → score) replayed in the SQL oracle (unlike PQ)."""
+    from linkgraph.pipeline.ann import sq8_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sq8_topk(emb.filter(F.col("vec_id") < 100), emb, k=5)
+
+
+def sql_emb_sq_topk() -> str:
+    return """
+WITH v AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+b AS (
+  SELECT i, MIN(x) AS lo, MAX(x) AS hi
+  FROM (SELECT unnest(e) AS x, generate_subscripts(e, 1) AS i FROM v)
+  GROUP BY i),
+lohi AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM b),
+dec AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(range(1, len(e) + 1),
+           i -> lo[i] + (CASE WHEN (hi[i] - lo[i]) > 0
+                 THEN LEAST(255, GREATEST(0,
+                      CAST(FLOOR((e[i] - lo[i]) / (hi[i] - lo[i]) * 255 + 0.5) AS INTEGER)))
+                 ELSE 0 END) / 255.0 * (hi[i] - lo[i])) AS d
+  FROM v, lohi),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         ROUND(list_dot_product(a.e, b.d) /
+               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.d, b.d))), 4) AS qcos
+  FROM v a JOIN dec b ON a.vec_id < 100 AND a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT a, b, qcos,
+         ROW_NUMBER() OVER (PARTITION BY a ORDER BY qcos DESC, b ASC) AS rn
+  FROM pairs)
+SELECT a, b, qcos FROM ranked WHERE rn <= 5"""
+
+
 def q_doc_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANF/HyperANF neighborhood function of the doc graph — FM bitmask
     sketches, one bit_or shuffle per hop (rows-only: iterative sketch union
@@ -3235,6 +3275,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "perplexity_buckets": q_perplexity_buckets,
     "span_dup_fraction": q_span_dup_fraction,
+    "emb_sq_topk": q_emb_sq_topk,
     "doc_anf": q_doc_anf,
     "emb_cosine_procs": q_emb_cosine_procs,
     "doc_article_rank": q_doc_article_rank,
@@ -3369,6 +3410,7 @@ ORACLES = {
     "span_dup_fraction": sql_span_dup_fraction(),
     "vocab_stats": sql_vocab_stats(),
     "moore_lewis": sql_moore_lewis(),
+    "emb_sq_topk": sql_emb_sq_topk(),
     "emb_cosine_topk": sql_emb_cosine_topk(),
     "emb_cosine_procs": sql_emb_cosine_procs(),
     "emb_euclidean_procs": sql_emb_euclidean_procs(),
