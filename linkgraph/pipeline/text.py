@@ -643,3 +643,87 @@ def mixture_weights(
         "n_docs",
         F.round(F.pow("n_docs", F.lit(alpha)) / F.col("z"), ndigits).alias("weight"),
     )
+
+
+# The 8 high-frequency function words Gopher (Rae et al. 2021, A1.1) uses
+# for its "contains at least 2 stop words" rule.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_words, keep, fail_reason) — the Gopher document-quality
+    rule set (Rae et al. 2021, "Scaling Language Models", appendix A1.1)
+    as a fixed-order funnel: word-count bounds → mean-word-length bounds →
+    symbol-to-word ratio (# and ellipsis) → bullet-start / ellipsis-end
+    line fractions → alphabetic-word fraction → ≥2 distinct stop words.
+    ``fail_reason`` names the FIRST failing rule ('' for kept docs, never
+    NULL, so the column hashes identically across engines).
+
+    Scale shape: pure column expressions over one scan — whole-stage
+    codegen, zero shuffle, no Python. Reference-adjacent anchor: the
+    reference engine has no corpus-quality surface; this follows the
+    published Gopher rules directly.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    mean_wl = sum_len.cast("double") / n_words
+    symbols = (
+        F.regexp_count(F.col(text_col), F.lit("#"))
+        + F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))
+    ).cast("double")
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.startswith("- ") | l.startswith("•"),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("double") / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).cast("double") / n_words
+    )
+    stop_hits = sum(
+        F.array_contains(toks, w).cast("int") for w in GOPHER_STOPWORDS
+    )
+    reason = (
+        F.when((n_words < min_words) | (n_words > max_words), "word_count")
+        .when(
+            (mean_wl < min_mean_word_len) | (mean_wl > max_mean_word_len),
+            "mean_word_length",
+        )
+        .when(symbols / n_words > max_symbol_ratio, "symbol_ratio")
+        .when(
+            (bullet_frac > max_bullet_ratio) | (ellipsis_frac > max_ellipsis_ratio),
+            "bullet_ellipsis",
+        )
+        .when(alpha_frac < min_alpha_ratio, "alpha_ratio")
+        .when(stop_hits < min_stopword_hits, "stop_words")
+        .otherwise("")
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (reason == "").alias("keep"),
+        reason.alias("fail_reason"),
+    )

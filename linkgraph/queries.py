@@ -3210,6 +3210,68 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(synthesize_media(spark, n=32))
 
 
+# Thresholds re-centered on the synthetic corpus (10-99 words/doc, mean
+# word length 3.7-5.3) so every funnel branch is reachable; the RULE SET
+# and order are Gopher's (Rae et al. 2021, A1.1).
+_GOPHER_PARAMS = dict(
+    min_words=30,
+    max_words=90,
+    min_mean_word_len=4.0,
+    max_mean_word_len=5.0,
+    min_stopword_hits=1,
+)
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule funnel (word-count / mean-word-length /
+    symbol-ratio / bullet-ellipsis / alpha-ratio / stop-words) — pure
+    codegen column expressions, zero shuffle."""
+    from linkgraph.pipeline.text import gopher_rules
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_rules(docs, **_GOPHER_PARAMS)
+
+
+def sql_gopher_rules() -> str:
+    from linkgraph.pipeline.text import GOPHER_STOPWORDS
+
+    p = _GOPHER_PARAMS
+    stop_hits = " + ".join(
+        f"list_contains(toks, '{w}')::INT" for w in GOPHER_STOPWORDS
+    )
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_words,
+         list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) AS mean_wl,
+         (len(regexp_extract_all(text, '#'))
+          + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE AS symbols,
+         len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '•')))::DOUBLE
+           / len(lines) AS bullet_frac,
+         len(list_filter(lines, l -> ends_with(l, '...')))::DOUBLE
+           / len(lines) AS ellipsis_frac,
+         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+           / len(toks) AS alpha_frac,
+         {stop_hits} AS stop_hits
+  FROM (SELECT doc_id, text,
+               string_split(text, ' ') AS toks,
+               string_split(text, chr(10)) AS lines
+        FROM documents)),
+decided AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words < {p["min_words"]} OR n_words > {p["max_words"]}
+                THEN 'word_count'
+              WHEN mean_wl < {p["min_mean_word_len"]} OR mean_wl > {p["max_mean_word_len"]}
+                THEN 'mean_word_length'
+              WHEN symbols / n_words > 0.1 THEN 'symbol_ratio'
+              WHEN bullet_frac > 0.9 OR ellipsis_frac > 0.3 THEN 'bullet_ellipsis'
+              WHEN alpha_frac < 0.8 THEN 'alpha_ratio'
+              WHEN stop_hits < {p["min_stopword_hits"]} THEN 'stop_words'
+              ELSE '' END AS fail_reason
+  FROM f)
+SELECT doc_id, n_words, fail_reason = '' AS keep, fail_reason FROM decided"""
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # Positions 1-50: one oracle-backed query per DISTINCT operator
@@ -3230,7 +3292,7 @@ QUERIES = {
     "doc_triangles": q_doc_triangles,
     "doc_balanced_triads": q_doc_balanced_triads,
     "doc_reciprocity": q_doc_reciprocity,
-    "degree_histogram": q_degree_histogram,
+    "emb_sq_topk": q_emb_sq_topk,
     "doc_hits": q_doc_hits,
     "doc_source_graph": q_doc_source_graph,
     "doc_degree": q_doc_degree,
@@ -3270,12 +3332,13 @@ QUERIES = {
     "moore_lewis": q_moore_lewis,
     # ---- positions 51+: oracle-backed variants sharing a family above ----
     "near_dup_jaccard": q_near_dup_jaccard,
+    "gopher_rules": q_gopher_rules,
     "mix_report": q_mix_report,
     "ngram_repetition": q_ngram_repetition,
     "bm25_topk": q_bm25_topk,
     "perplexity_buckets": q_perplexity_buckets,
     "span_dup_fraction": q_span_dup_fraction,
-    "emb_sq_topk": q_emb_sq_topk,
+    "degree_histogram": q_degree_histogram,
     "doc_anf": q_doc_anf,
     "emb_cosine_procs": q_emb_cosine_procs,
     "doc_article_rank": q_doc_article_rank,
@@ -3385,6 +3448,7 @@ ORACLES = {
     "contamination": sql_contamination(),
     "stratified_sample": sql_stratified_sample(),
     "quality_gate": sql_quality_gate(),
+    "gopher_rules": sql_gopher_rules(),
     "tfidf_topk": sql_tfidf_topk(),
     "sessionize": sql_sessionize(),
     "pack_sequences": sql_pack_sequences(),

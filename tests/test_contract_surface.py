@@ -48,6 +48,29 @@ def test_queries_dict_literal_has_no_duplicate_keys():
     assert checked == 2
 
 
+def test_gate_window_is_fully_oracle_backed():
+    """The driver records only the first 50 QUERIES entries. Every one of
+    those slots must carry a value-level oracle — a rows-only entry inside
+    the window wastes a driver-recorded hash check."""
+    import ast
+    import inspect
+
+    import linkgraph.queries as Q
+
+    tree = ast.parse(inspect.getsource(Q))
+    dicts = {}
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Assign) or not isinstance(node.value, ast.Dict):
+            continue
+        for t in node.targets:
+            if isinstance(t, ast.Name) and t.id in ("QUERIES", "ORACLES"):
+                dicts[t.id] = [k.value for k in node.value.keys
+                               if isinstance(k, ast.Constant)]
+    window = dicts["QUERIES"][:50]
+    missing = [k for k in window if k not in set(dicts["ORACLES"])]
+    assert not missing, f"rows-only entries inside the 50-slot gate window: {missing}"
+
+
 def test_every_oracle_plans_in_duckdb(con):
     from linkgraph.queries import ORACLES
 

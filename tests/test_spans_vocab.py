@@ -85,3 +85,49 @@ def test_moore_lewis_ranks_in_domain_lookalikes_first(spark):
     scores = [r["score"] for r in out]
     assert scores == sorted(scores, reverse=True)
     assert scores[0] > scores[-1]
+
+
+def test_gopher_rules_each_branch_fires(spark):
+    from linkgraph.pipeline.text import gopher_rules
+
+    mk = lambda i, t: (i, t)
+    good = "the quick brown fox jumps over lazy dogs " * 2 + "with vigor"
+    docs = spark.createDataFrame(
+        [
+            mk(1, good),                                   # keep
+            mk(2, "too short"),                            # word_count (low)
+            mk(3, "word " * 200 + "end"),                  # word_count (high)
+            mk(4, " ".join(["ab"] * 20)),                  # mean_word_length (low)
+            mk(5, " ".join(["abcdefghijklmnop"] * 20)),    # mean_word_length (high)
+            mk(6, " ".join(["the"] + ["##x"] * 19)),       # symbol_ratio
+            mk(7, "\n".join(["- bullet line"] * 20)),      # bullet_ellipsis
+            mk(8, " ".join(["the", "of"] + ["1234"] * 18)),  # alpha_ratio
+            mk(9, " ".join(["alpha", "beta", "gamma", "delta"] * 5)),  # stop_words
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["keep"], r["fail_reason"])
+        for r in gopher_rules(
+            docs, min_words=10, max_words=100, min_mean_word_len=3.0,
+            max_mean_word_len=10.0, min_stopword_hits=2,
+        ).collect()
+    }
+    assert out[1] == (True, "")
+    assert out[2] == (False, "word_count")
+    assert out[3] == (False, "word_count")
+    assert out[4] == (False, "mean_word_length")
+    assert out[5] == (False, "mean_word_length")
+    assert out[6] == (False, "symbol_ratio")
+    assert out[7] == (False, "bullet_ellipsis")
+    assert out[8] == (False, "alpha_ratio")
+    assert out[9] == (False, "stop_words")
+
+
+def test_gopher_rules_zero_shuffle_codegen(spark):
+    from linkgraph.pipeline.text import gopher_rules
+
+    docs = spark.createDataFrame([(1, "the and of")], "doc_id long, text string")
+    p = gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
