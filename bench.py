@@ -13,6 +13,7 @@ Env knobs: SPARK_GRAFT_CPUS (default 32), LINKGRAPH_BENCH_NODES (default
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -79,6 +80,11 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).count()
             rs.append(round(time.time() - t0, 3))
+            # drop Python references to localCheckpoint RDDs so the JVM
+            # ContextCleaner frees their blocks before the next repeat —
+            # otherwise back-to-back runs inherit the previous run's block
+            # pressure and repeat times drift upward
+            gc.collect()
         query_runs[name] = rs
         timings[name] = round(statistics.median(rs), 3)
 

@@ -1,4 +1,5 @@
-"""Token co-occurrence statistics: document-level PMI.
+"""Token co-occurrence statistics: document-level PMI and positional
+skip-gram pair mining.
 
 Pointwise mutual information over within-document token pairs (Church &
 Hanks 1990) — the standard collocation/association mining pass an LLM
@@ -65,3 +66,44 @@ def pmi_topk(
         ).alias("pmi"),
     )
     return out.orderBy(F.desc("pmi"), "tok_a", "tok_b").limit(k)
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    window: int = 3,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (w_left, w_right, cnt) — corpus-wide counts of ordered token
+    pairs at positional distance ≤ `window` (word2vec skip-gram training
+    pairs, Mikolov et al. 2013), top-k by count with a (cnt desc, w_left,
+    w_right) total order.
+
+    Scale shape: pair generation is a PURE per-row array expansion —
+    nested `transform` over the token array emits each position's forward
+    window with zero joins and zero shuffle (contrast the positional
+    self-join a naive formulation needs, which shuffles the exploded
+    token table twice). The only shuffle is the final (w_left, w_right)
+    count, which map-side combines; the top-k is TakeOrderedAndProject,
+    not a single-partition window. A document with T tokens emits ≤ T·w
+    pairs, so executor memory per row is bounded by the longest document,
+    not the corpus.
+    """
+    toks = F.split(F.col(text_col), " ")
+    pairs = F.flatten(
+        F.transform(
+            toks,
+            lambda x, i: F.transform(
+                F.slice(toks, i + F.lit(2), F.lit(window)),
+                lambda y: F.struct(x.alias("w_left"), y.alias("w_right")),
+            ),
+        )
+    )
+    counts = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.w_left", "p.w_right")
+        .where((F.col("w_left") != "") & (F.col("w_right") != ""))
+        .groupBy("w_left", "w_right")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return counts.orderBy(F.desc("cnt"), "w_left", "w_right").limit(k)

@@ -236,6 +236,44 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    docs: DataFrame,
+    weight: F.Column,
+    n: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, sample_key) — deterministic weight-proportional sampling
+    WITHOUT replacement (Efraimidis & Spirakis 2006 A-Res): each row gets
+    key = u^(1/w) with u a content-independent pseudo-uniform from
+    md5(id), and the global top-n keys are the sample. Inclusion
+    probability is proportional to weight; the same ids win at any
+    partitioning or engine because u is derived from the row id, not an
+    RNG stream.
+
+    Scale shape: one zero-shuffle key computation + TakeOrderedAndProject
+    top-n — no global sort, no window. The at-scale curriculum/mixture
+    sampler: weight = quality score or temperature-scaled source weight.
+    """
+    # 15 hex digits = 60 bits — exact in int64 and in the double mantissa
+    # division below (both engines parse hex identically)
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16**15))
+    key = F.pow(u, F.lit(1.0) / weight)
+    return (
+        docs.select(
+            F.col(key_col),
+            F.round(key, 5).alias("sample_key"),
+            key.alias("_k"),
+        )
+        .orderBy(F.desc("_k"), F.col(key_col))
+        .limit(n)
+        .drop("_k")
+    )
+
+
 def quality_gate(
     docs: DataFrame,
     min_tokens: int = 5,

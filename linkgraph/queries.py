@@ -1649,6 +1649,127 @@ ORDER BY pmi DESC, tok_a, tok_b
 LIMIT {PMI_K}"""
 
 
+WSAMPLE_N = 50
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis A-Res weight-proportional sample (n=50,
+    weight = n_chars): deterministic md5-derived uniforms, global top-n
+    by u^(1/w) — zero-shuffle keys + TakeOrderedAndProject."""
+    from linkgraph.pipeline.text import weighted_sample
+
+    docs = load_documents(spark, sf_dir)
+    return weighted_sample(docs, F.col("n_chars").cast("double"), n=WSAMPLE_N)
+
+
+def sql_weighted_sample() -> str:
+    return f"""
+WITH k AS (
+  SELECT doc_id,
+         POW((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              + 0.5) / 1152921504606846976.0,
+             1.0 / CAST(n_chars AS DOUBLE)) AS key
+  FROM documents)
+SELECT doc_id, ROUND(key, 5) AS sample_key
+FROM k ORDER BY key DESC, doc_id LIMIT {WSAMPLE_N}"""
+
+
+BPE_MERGES = 10
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (Sennrich ACL'16): first 10 merges
+    over the corpus word-frequency table. Iterative argmax — not
+    SQL-expressible; parity vs a pure-Python reference in
+    tests/test_bpe.py."""
+    from linkgraph.pipeline.bpe import learn_bpe_merges
+
+    merges = learn_bpe_merges(load_documents(spark, sf_dir), BPE_MERGES)
+    return spark.createDataFrame(
+        [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "merge_rank int, sym_a string, sym_b string, pair_count long",
+    )
+
+
+SKIPGRAM_W = 3
+SKIPGRAM_K = 100
+
+
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec skip-gram pair mining: corpus-wide (w_left, w_right)
+    counts at positional distance <= 3, top-100. Pair generation is a
+    zero-shuffle nested-transform array expansion (no positional
+    self-join)."""
+    from linkgraph.pipeline.cooccur import skipgram_pairs
+
+    return skipgram_pairs(
+        load_documents(spark, sf_dir), window=SKIPGRAM_W, k=SKIPGRAM_K
+    )
+
+
+def sql_skipgram_pairs() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+pos AS MATERIALIZED (
+  SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l)+1)) AS pos
+  FROM t),
+pairs AS (
+  SELECT a.tok AS w_left, b.tok AS w_right
+  FROM pos a JOIN pos b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + {SKIPGRAM_W}
+  WHERE a.tok <> '' AND b.tok <> '')
+SELECT w_left, w_right, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY 1, 2
+ORDER BY cnt DESC, w_left, w_right
+LIMIT {SKIPGRAM_K}"""
+
+
+KHOP_FANOUTS = (3, 2)
+
+
+def q_doc_khop_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style 2-hop neighbor sampling over the undirected doc
+    graph: seeds = doc_id % 17 == 0, fanouts (3, 2). Deterministic
+    hash-ranked selection via a salted two-stage top-f (no per-node
+    window straggler)."""
+    from linkgraph.algorithms.sampling import k_hop_sample
+
+    e = doc_edges(spark, sf_dir)
+    ue = e.select("src", "dst").union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    docs = load_documents(spark, sf_dir)
+    seeds = docs.select("doc_id").where(F.col("doc_id") % 17 == 0)
+    return k_hop_sample(ue, seeds, KHOP_FANOUTS)
+
+
+def sql_doc_khop_sample() -> str:
+    f1, f2 = KHOP_FANOUTS
+    return (
+        _PROLOG
+        + f""",
+seeds AS (SELECT id AS src FROM nodes WHERE id % 17 = 0),
+c1 AS (
+  SELECT u.src, u.dst, (1103515245*u.dst + 12345*u.src) % 2147483648 AS h
+  FROM ue u JOIN seeds s ON u.src = s.src),
+r1 AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY h, dst) AS rn
+    FROM c1) WHERE rn <= {f1}),
+f2 AS (SELECT DISTINCT dst AS src FROM r1),
+c2 AS (
+  SELECT u.src, u.dst, (1103515245*u.dst + 12345*u.src) % 2147483648 AS h
+  FROM ue u JOIN f2 s ON u.src = s.src),
+r2 AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY h, dst) AS rn
+    FROM c2) WHERE rn <= {f2})
+SELECT CAST(1 AS INTEGER) AS hop, src, dst FROM r1
+UNION ALL
+SELECT CAST(2 AS INTEGER) AS hop, src, dst FROM r2"""
+    )
+
+
 def q_emb_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 scalar-quantized top-k (FAISS QT_8bit recipe): asymmetric
     cosine of float queries against byte-decoded corpus vectors — 4x
@@ -3311,7 +3432,7 @@ QUERIES = {
     "language_id": q_langid,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_near_dup": q_emb_near_dup,
-    "pmi_topk": q_pmi_topk,
+    "skipgram_pairs": q_skipgram_pairs,
     "scalar_functions": q_scalar_functions,
     "rel_dedup_sum": q_rel_dedup_sum,
     "pii_scan": q_pii_scan,
@@ -3329,9 +3450,13 @@ QUERIES = {
     "mixture_weights": q_mixture_weights,
     "token_heavy_hitters": q_token_heavy_hitters,
     "vocab_stats": q_vocab_stats,
-    "moore_lewis": q_moore_lewis,
+    "doc_khop_sample": q_doc_khop_sample,
     # ---- positions 51+: oracle-backed variants sharing a family above ----
     "near_dup_jaccard": q_near_dup_jaccard,
+    "pmi_topk": q_pmi_topk,
+    "moore_lewis": q_moore_lewis,
+    "weighted_sample": q_weighted_sample,
+    "bpe_merges": q_bpe_merges,
     "gopher_rules": q_gopher_rules,
     "mix_report": q_mix_report,
     "ngram_repetition": q_ngram_repetition,
@@ -3463,6 +3588,9 @@ ORACLES = {
     "source_pagerank": sql_source_pagerank(),
     "degree_histogram": sql_degree_histogram(),
     "pmi_topk": sql_pmi_topk(),
+    "skipgram_pairs": sql_skipgram_pairs(),
+    "doc_khop_sample": sql_doc_khop_sample(),
+    "weighted_sample": sql_weighted_sample(),
     "bm25_topk": sql_bm25_topk(),
     "perplexity_buckets": sql_perplexity_buckets(),
     "mix_report": sql_mix_report(),

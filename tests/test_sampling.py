@@ -1,0 +1,149 @@
+"""k-hop neighbor sampling + skip-gram pair mining goldens."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.algorithms.sampling import (
+    HASH_A,
+    HASH_B,
+    HASH_M,
+    k_hop_sample,
+    sample_neighbors,
+)
+from linkgraph.pipeline.cooccur import skipgram_pairs
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(s), int(d)) for s, d in pairs], "src long, dst long"
+    )
+
+
+def _expected_topf(pairs, fanout):
+    """Python reference: per-src min-fanout by (affine hash, dst)."""
+    bysrc = {}
+    for s, d in pairs:
+        bysrc.setdefault(s, []).append(d)
+    out = set()
+    for s, ds in bysrc.items():
+        ranked = sorted(ds, key=lambda d: ((HASH_A * d + HASH_B * s) % HASH_M, d))
+        out.update((s, d) for d in ranked[:fanout])
+    return out
+
+
+def test_sample_neighbors_matches_reference(spark):
+    # star around node 0 plus a chain; fanout smaller than hub degree
+    pairs = [(0, d) for d in range(1, 12)] + [(1, 2), (2, 3), (3, 4), (3, 5)]
+    got = {
+        (r.src, r.dst)
+        for r in sample_neighbors(_edges(spark, pairs), fanout=4).collect()
+    }
+    assert got == _expected_topf(pairs, 4)
+
+
+def test_sample_neighbors_salt_invariance(spark):
+    pairs = [(i % 7, (i * 13 + 5) % 50) for i in range(200)]
+    pairs = list(set(pairs))
+    e = _edges(spark, pairs)
+    a = {(r.src, r.dst) for r in sample_neighbors(e, 3, salt_buckets=1).collect()}
+    b = {(r.src, r.dst) for r in sample_neighbors(e, 3, salt_buckets=16).collect()}
+    assert a == b == _expected_topf(pairs, 3)
+
+
+def test_k_hop_sample_frontier_semantics(spark):
+    pairs = [(0, d) for d in range(1, 8)] + [
+        (d, 100 + d * 10 + j) for d in range(1, 8) for j in range(4)
+    ]
+    e = _edges(spark, pairs)
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = k_hop_sample(e, seeds, (3, 2)).collect()
+    hop1 = {(r.src, r.dst) for r in got if r.hop == 1}
+    hop2 = {(r.src, r.dst) for r in got if r.hop == 2}
+    exp1 = _expected_topf([(0, d) for d in range(1, 8)], 3)
+    assert hop1 == exp1
+    frontier = {d for _, d in exp1}
+    exp2 = _expected_topf([(s, d) for s, d in pairs if s in frontier], 2)
+    assert hop2 == exp2
+    # fanout cap respected per node per hop
+    from collections import Counter
+
+    c1 = Counter(s for s, _ in hop1)
+    c2 = Counter(s for s, _ in hop2)
+    assert max(c1.values()) <= 3 and max(c2.values()) <= 2
+
+
+def test_k_hop_sample_deterministic(spark):
+    pairs = [(i % 11, (i * 7 + 3) % 40) for i in range(150)]
+    pairs = [p for p in set(pairs) if p[0] != p[1]]
+    e = _edges(spark, pairs).repartition(7)
+    seeds = spark.createDataFrame([(i,) for i in range(0, 11, 2)], "id long")
+    r1 = sorted(map(tuple, k_hop_sample(e, seeds, (2, 2)).collect()))
+    r2 = sorted(map(tuple, k_hop_sample(e, seeds, (2, 2)).collect()))
+    assert r1 == r2 and len(r1) > 0
+
+
+def test_skipgram_pairs_reference(spark):
+    texts = [
+        (0, "a b c a b"),
+        (1, "b c d"),
+        (2, "a a a"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r.w_left, r.w_right): r.cnt
+        for r in skipgram_pairs(docs, window=2, k=1000).collect()
+    }
+    from collections import Counter
+
+    exp = Counter()
+    for _, t in texts:
+        toks = t.split(" ")
+        for i, x in enumerate(toks):
+            for y in toks[i + 1 : i + 3]:
+                exp[(x, y)] += 1
+    assert got == dict(exp)
+
+
+def test_skipgram_topk_order(spark):
+    docs = spark.createDataFrame(
+        [(0, "x y x y x y"), (1, "p q")], "doc_id long, text string"
+    )
+    rows = skipgram_pairs(docs, window=1, k=2).collect()
+    assert [(r.w_left, r.w_right) for r in rows] == [("x", "y"), ("y", "x")]
+
+
+def test_weighted_sample_reference(spark):
+    import hashlib
+
+    from linkgraph.pipeline.text import weighted_sample
+
+    rows = [(i, 10 + (i * 7) % 90) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = [
+        (r.doc_id, r.sample_key)
+        for r in weighted_sample(
+            docs, F.col("n_chars").cast("double"), n=20
+        ).collect()
+    ]
+
+    def key(i, w):
+        u = (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) + 0.5) / 16**15
+        return u ** (1.0 / w)
+
+    exp = sorted(rows, key=lambda r: (-key(*r), r[0]))[:20]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (_, k_got), (i, w) in zip(got, exp):
+        assert abs(k_got - key(i, w)) < 1e-5
+
+
+def test_weighted_sample_bias(spark):
+    from linkgraph.pipeline.text import weighted_sample
+
+    # ids 0-99 weight 1, ids 100-199 weight 20: heavy rows must dominate
+    rows = [(i, 1.0 if i < 100 else 20.0) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, w double")
+    picked = {
+        r.doc_id for r in weighted_sample(docs, F.col("w"), n=40).collect()
+    }
+    heavy = sum(1 for d in picked if d >= 100)
+    assert heavy >= 30
