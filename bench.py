@@ -125,6 +125,9 @@ def main() -> None:
     timed("moore_lewis", Q.q_moore_lewis)
     timed("pmi_topk", Q.q_pmi_topk)
     timed("doc_anf", Q.q_doc_anf)
+    timed("doc_katz", Q.q_doc_katz)
+    timed("doc_khop_sample", Q.q_doc_khop_sample)
+    timed("skipgram_pairs", Q.q_skipgram_pairs)
 
     canary_mid = host_canary()
 

@@ -556,3 +556,73 @@ def eigenvector_centrality(
     elif normalization == "l2norm":
         pass  # already L2-stabilized each step
     return ranks
+
+
+def katz_centrality(
+    graph: Graph,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    max_iterations: int = 20,
+    tolerance: float | None = None,
+) -> DataFrame:
+    """Katz centrality — x = Σ_k α^k (Aᵀ)^k·β·1, computed as the power
+    iteration x ← α·Aᵀx + β (Katz 1953). Converges for α < 1/λ_max; no
+    degree normalization (contrast PageRank), so a node is credited for
+    ALL walks reaching it, attenuated by length.
+
+    Engine-added for GDS-successor parity (the reference ships the
+    PageRank/ArticleRank/Eigenvector trio; Katz completes the family).
+    Runs on the shared CSC-block pull engine when ids are contiguous
+    (zero-shuffle supersteps, raw weights), join loop otherwise — the
+    same two-strategy split as article_rank above.
+    """
+    edges, nodes = graph.edges, graph.nodes.select("id")
+
+    n = _contiguous_n(nodes)
+    if n:
+        import numpy as np
+        import pandas as pd
+
+        p = _pull_power_iteration(
+            edges.select("src", "dst").withColumn("weight", F.lit(1.0)),
+            n,
+            max_iterations,
+            step=lambda p, c: alpha * c + beta,
+            normalize=False,
+            tolerance=tolerance,
+        )
+        return edges.sparkSession.createDataFrame(
+            pd.DataFrame({"id": np.arange(n), "rank": p})
+        )
+
+    ranks = nodes.select("id", F.lit(1.0).alias("rank"))
+    for _ in range(max_iterations):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.id)
+            .groupBy("dst")
+            .agg(F.sum("rank").alias("contrib"))
+        )
+        new_ranks = (
+            nodes.join(contribs, nodes.id == contribs.dst, "left")
+            .select(
+                "id",
+                (
+                    F.lit(beta)
+                    + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if tolerance is not None:
+            delta = (
+                new_ranks.alias("n")
+                .join(ranks.alias("o"), "id")
+                .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))))
+                .first()[0]
+            ) or 0.0
+            ranks = new_ranks
+            if delta < tolerance:
+                break
+        else:
+            ranks = new_ranks
+    return ranks

@@ -107,3 +107,39 @@ def skipgram_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
     return counts.orderBy(F.desc("cnt"), "w_left", "w_right").limit(k)
+
+
+def walk_skipgram_pairs(
+    walks: DataFrame,
+    window: int = 2,
+    k: int = 100,
+    path_col: str = "path",
+) -> DataFrame:
+    """→ (u, v, cnt) — DeepWalk/node2vec training pairs (Perozzi et al.
+    KDD'14): treat each random-walk path as a sentence and emit forward
+    (center, context) node pairs at distance ≤ `window`, counted
+    corpus-wide, top-k by (cnt desc, u, v).
+
+    Same zero-join nested-transform expansion as `skipgram_pairs`, over
+    long arrays; `-1` entries (a walk that died at a dangling node pads
+    with -1) never pair. This is the embedding-training corpus exporter —
+    walks come from `algorithms.randomwalk.random_walks`, pairs feed a
+    skip-gram trainer."""
+    arr = F.col(path_col)
+    pairs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.lit(window)),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    counts = (
+        walks.select(F.explode(pairs).alias("p"))
+        .select("p.u", "p.v")
+        .where((F.col("u") >= 0) & (F.col("v") >= 0))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return counts.orderBy(F.desc("cnt"), "u", "v").limit(k)

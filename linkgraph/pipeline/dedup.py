@@ -348,6 +348,38 @@ def minhash_signatures(
     )
 
 
+def minhash_bands(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    seed: int = 42,
+    shingle: int = 1,
+) -> DataFrame:
+    """(doc_id, band, bucket) — each doc's LSH band keys: the signature is
+    cut into `bands` slices and each slice hashes (xxhash64) to a bucket.
+    This is the shared index shape for both the batch candidate join and
+    the streaming stream-vs-static filter."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, text_col, seed, shingle)
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     num_hashes: int = 64,
@@ -362,22 +394,7 @@ def minhash_lsh_candidates(
     bucket key, pairs sharing any bucket become candidates. The shuffle is
     an equi-join on (band, bucket) — no cross-join at any scale.
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, text_col, seed, shingle)
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.struct(
-                    i.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = minhash_bands(docs, num_hashes, bands, text_col, seed, shingle)
     l = banded.select(F.col("doc_id").alias("a"), "band", "bucket")
     r = banded.select(F.col("doc_id").alias("b"), "band", "bucket")
     return (

@@ -15,6 +15,7 @@ _REGISTRY: dict[str, tuple[str, str]] = {
     "algo.pageRank": ("linkgraph.algorithms.pagerank.PageRank", "PageRank, damping/tolerance/weighted/personalized; push-CSR, pull-CSC or join strategies"),
     "algo.articleRank": ("linkgraph.algorithms.pagerank.article_rank", "ArticleRank (denominator outdeg+avg_outdeg)"),
     "algo.eigenvector": ("linkgraph.algorithms.pagerank.eigenvector_centrality", "eigenvector centrality, power iteration + normalization"),
+    "algo.katz": ("linkgraph.algorithms.pagerank.katz_centrality", "Katz centrality x = alpha*A'x + beta (engine-added; gds.katz analogue)"),
     "algo.degree": ("linkgraph.algorithms.degrees.degree_centrality", "in/out/both (weighted) degree centrality"),
     "algo.closeness": ("linkgraph.algorithms.msbfs.closeness_centrality", "closeness via MSBFS bitset frontiers; improved=Wasserman-Faust"),
     "algo.closeness.harmonic": ("linkgraph.algorithms.msbfs.harmonic_centrality", "harmonic centrality"),
@@ -134,6 +135,7 @@ _WRITE_MODE = {
     # procs whose `write: true` config returns the reference-style stats
     # row (algo/.../results/*) instead of the stream DataFrame
     "algo.pageRank": "pageRank",
+    "algo.katz": "katz",
     "algo.unionFind": "unionFind",
     "algo.scc": "scc",
     "algo.labelPropagation": "labelPropagation",

@@ -1649,6 +1649,101 @@ ORDER BY pmi DESC, tok_a, tok_b
 LIMIT {PMI_K}"""
 
 
+SND_THRESHOLD = 0.8
+
+
+def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LSH near-dup filter: the upper half of documents replayed
+    as a file stream, checked against the lower half as the static corpus.
+    num_hashes=64 / bands=32 puts the s-curve midpoint far below the 0.8
+    verify threshold, so candidate recall at J>=0.8 is 1 - (1-0.8^2)^32
+    ~= 1 - 1e-14 — the exact-verified output equals the full cross-pair
+    Jaccard filter the SQL oracle computes (MinHash is deterministic, so
+    this equality is stable, not probabilistic per run)."""
+    import tempfile
+
+    from linkgraph.streaming import stream_near_dup
+
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    n = docs.count()
+    static_docs = docs.where(F.col("doc_id") < n // 2)
+    tmp = tempfile.mkdtemp(prefix="linkgraph_snd_")
+    docs.where(F.col("doc_id") >= n // 2).write.mode("overwrite").parquet(tmp)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(tmp)
+
+    out: list = []
+
+    def sink(df: DataFrame, epoch_id: int) -> None:
+        out.extend(
+            (r["doc_id"], r["static_id"], r["jaccard"]) for r in df.collect()
+        )
+
+    q = (
+        stream_near_dup(
+            stream, static_docs, sink, threshold=SND_THRESHOLD,
+            num_hashes=64, bands=32,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        sorted(out), "doc_id long, static_id long, jaccard double"
+    )
+
+
+def sql_stream_near_dup() -> str:
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+toks AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS static_id, COUNT(*) AS i
+  FROM toks a JOIN toks b ON a.tok = b.tok
+  WHERE a.doc_id >= (SELECT n // 2 FROM nn) AND b.doc_id < (SELECT n // 2 FROM nn)
+  GROUP BY 1, 2)
+SELECT x.doc_id, x.static_id,
+       ROUND(CAST(x.i AS DOUBLE) / (sa.sz + sb.sz - x.i), 5) AS jaccard
+FROM inter x
+JOIN sizes sa ON sa.doc_id = x.doc_id
+JOIN sizes sb ON sb.doc_id = x.static_id
+WHERE CAST(x.i AS DOUBLE) / (sa.sz + sb.sz - x.i) >= {SND_THRESHOLD}"""
+
+
+KATZ_ITERS = 15
+KATZ_ALPHA = 0.1
+
+
+def q_doc_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (alpha=0.1, beta=1), 15 fixed iterations on the
+    zero-shuffle CSC-block pull engine; oracle unrolls the same power
+    iteration in SQL."""
+    from linkgraph.algorithms.pagerank import katz_centrality
+
+    g = doc_graph(spark, sf_dir)
+    ranks = katz_centrality(g, alpha=KATZ_ALPHA, beta=1.0, max_iterations=KATZ_ITERS)
+    return ranks.select("id", F.round("rank", 5).alias("rank"))
+
+
+def sql_doc_katz() -> str:
+    parts = [_PROLOG]
+    parts.append(", k0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes)")
+    for k in range(1, KATZ_ITERS + 1):
+        parts.append(
+            f""", k{k} AS MATERIALIZED (
+  SELECT n.id, 1.0 + {KATZ_ALPHA} * COALESCE(c.s, CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank) AS s
+    FROM edges e JOIN k{k - 1} r ON e.src = r.id
+    GROUP BY e.dst
+  ) c ON n.id = c.id)"""
+        )
+    parts.append(f"SELECT id, ROUND(rank, 5) AS rank FROM k{KATZ_ITERS}")
+    return "\n".join(parts)
+
+
 WSAMPLE_N = 50
 
 
@@ -2244,6 +2339,19 @@ def q_doc_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = doc_graph(spark, sf_dir)
     return random_walks(g, steps=8, walks_per_node=2, seed=42)
+
+
+def q_walk_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk corpus export: node2vec-style walks → forward-window
+    (center, context) node pairs, top-100. Rows-only (walk RNG is the
+    engine's counter-based stream, not SQL-replayable); pair extraction
+    has a hand-computed golden in tests."""
+    from linkgraph.algorithms.randomwalk import random_walks
+    from linkgraph.pipeline.cooccur import walk_skipgram_pairs
+
+    g = doc_graph(spark, sf_dir)
+    walks = random_walks(g, steps=8, walks_per_node=2, seed=42)
+    return walk_skipgram_pairs(walks, window=2, k=100)
 
 
 def q_doc_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3457,6 +3565,9 @@ QUERIES = {
     "moore_lewis": q_moore_lewis,
     "weighted_sample": q_weighted_sample,
     "bpe_merges": q_bpe_merges,
+    "doc_katz": q_doc_katz,
+    "stream_near_dup": q_stream_near_dup,
+    "walk_skipgram": q_walk_skipgram,
     "gopher_rules": q_gopher_rules,
     "mix_report": q_mix_report,
     "ngram_repetition": q_ngram_repetition,
@@ -3591,6 +3702,8 @@ ORACLES = {
     "skipgram_pairs": sql_skipgram_pairs(),
     "doc_khop_sample": sql_doc_khop_sample(),
     "weighted_sample": sql_weighted_sample(),
+    "doc_katz": sql_doc_katz(),
+    "stream_near_dup": sql_stream_near_dup(),
     "bm25_topk": sql_bm25_topk(),
     "perplexity_buckets": sql_perplexity_buckets(),
     "mix_report": sql_mix_report(),

@@ -131,6 +131,7 @@ _EXTRAS = {
     "betweenness": lambda r: _centrality_extras(r, "centrality"),
     "closeness": lambda r: _centrality_extras(r, "centrality"),
     "pageRank": lambda r: _centrality_extras(r, "rank"),
+    "katz": lambda r: _centrality_extras(r, "rank"),
     "triangleCount": _triangle_extras,
     "kcore": _kcore_extras,
     "kcoreCoreness": _coreness_extras,

@@ -23,14 +23,27 @@ def ship_package(spark: SparkSession) -> None:
     `spark-submit --py-files dist/linkgraph.zip` on a real cluster, so
     module-level pandas UDFs (pickled by reference) resolve on workers no
     matter where the driver script lives.
+
+    The shipped name is CONTENT-HASHED (linkgraph-<sha>.zip): executors
+    cache fetched files by name and hard-fail when a same-named file
+    arrives with different bytes, so re-shipping after a source edit into
+    a long-lived JVM (interactive dev, test session reusing the
+    SparkContext) would poison every subsequent task if the name were
+    fixed. A new hash = a new file = a clean fetch; an unchanged package
+    re-adds the identical file, which Spark accepts.
     """
+    import hashlib
+
     import linkgraph
 
     pkg_dir = os.path.dirname(os.path.abspath(linkgraph.__file__))
     zip_base = os.path.join(tempfile.mkdtemp(prefix="linkgraph_pyfiles_"), "linkgraph")
     zf = shutil.make_archive(zip_base, "zip", root_dir=os.path.dirname(pkg_dir),
                              base_dir="linkgraph")
-    spark.sparkContext.addPyFile(zf)
+    digest = hashlib.sha256(open(zf, "rb").read()).hexdigest()[:16]
+    hashed = os.path.join(os.path.dirname(zf), f"linkgraph-{digest}.zip")
+    os.rename(zf, hashed)
+    spark.sparkContext.addPyFile(hashed)
 
 
 def get_spark(

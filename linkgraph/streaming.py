@@ -299,6 +299,73 @@ def stream_lm_score(
     return stream_docs.writeStream.foreachBatch(_batch)
 
 
+def stream_near_dup(
+    stream_docs: DataFrame,
+    static_docs: DataFrame,
+    sink_fn,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 1,
+    text_col: str = "text",
+):
+    """Filter a document STREAM against a static corpus for NEAR
+    duplicates: per micro-batch, MinHash-band the incoming docs, equi-join
+    their (band, bucket) keys against the static corpus's precomputed band
+    index (the Broder LSH candidate step), then exact-verify each
+    candidate pair with unigram Jaccard — the same two-stage shape as the
+    batch `near_duplicate_clusters` front-end.
+
+    ``sink_fn(matches_df, epoch_id)`` receives (doc_id, static_id,
+    jaccard) rows with jaccard >= threshold. Stateless across batches:
+    the static index is fixed, each batch's signatures live in the batch —
+    state never grows with stream length (contrast keeping a growing LSH
+    table in stream state, which an unbounded corpus would overflow).
+    At scale the static band index is a bucketed table on (band, bucket),
+    so the per-batch join is co-located and the small batch side shuffles.
+    """
+    from linkgraph.pipeline.dedup import minhash_bands
+
+    static_bands = minhash_bands(
+        static_docs, num_hashes, bands, text_col, seed=42, shingle=shingle
+    ).persist()
+    static_toks = static_docs.select(
+        F.col("doc_id").alias("static_id"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("tb"),
+    ).persist()
+
+    def _batch(df: DataFrame, epoch_id: int) -> None:
+        batch_bands = minhash_bands(
+            df, num_hashes, bands, text_col, seed=42, shingle=shingle
+        )
+        cand = (
+            batch_bands.join(
+                static_bands.select(
+                    F.col("doc_id").alias("static_id"), "band", "bucket"
+                ),
+                ["band", "bucket"],
+            )
+            .filter(F.col("doc_id") != F.col("static_id"))
+            .select("doc_id", "static_id")
+            .distinct()
+        )
+        toks_a = df.select(
+            "doc_id", F.array_distinct(F.split(F.col(text_col), " ")).alias("ta")
+        )
+        j = cand.join(toks_a, "doc_id").join(static_toks, "static_id")
+        inter = F.size(F.array_intersect("ta", "tb"))
+        matches = j.select(
+            "doc_id",
+            "static_id",
+            F.round(
+                inter.cast("double") / (F.size("ta") + F.size("tb") - inter), 5
+            ).alias("jaccard"),
+        ).filter(F.col("jaccard") >= threshold)
+        sink_fn(matches, epoch_id)
+
+    return stream_docs.writeStream.foreachBatch(_batch)
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> list:

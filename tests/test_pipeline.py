@@ -1128,3 +1128,65 @@ def test_random_projection_preserves_distances(spark):
     proj = np.array([np.linalg.norm(p[a] - p[b]) for a, b in pairs])
     ratio = proj / orig
     assert abs(float(np.median(ratio)) - 1.0) < 0.25
+
+
+def test_stream_near_dup_matches_batch(spark, tmp_path):
+    """Streaming LSH near-dup filter: stream docs vs a static corpus must
+    flag exactly the pairs the batch candidates+verify path flags."""
+    from linkgraph.pipeline.dedup import minhash_bands
+    from linkgraph.streaming import stream_near_dup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    static_rows = [
+        (100, base),
+        (101, base + " lambda"),
+        (102, "totally different words about other topics entirely here now"),
+    ]
+    stream_rows = [
+        (0, base),                        # exact copy of 100 → near-dup
+        (1, base.replace("beta", "bete")),  # 1-token change → near-dup
+        (2, "unrelated content that shares nothing with the static corpus"),
+    ]
+    static_docs = spark.createDataFrame(static_rows, "doc_id long, text string")
+    src_dir = str(tmp_path / "near_dup_stream")
+    spark.createDataFrame(stream_rows, "doc_id long, text string").write.parquet(
+        src_dir
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src_dir)
+
+    got: list = []
+
+    def sink(df, epoch):
+        got.extend((r.doc_id, r.static_id, r.jaccard) for r in df.collect())
+
+    q = stream_near_dup(
+        stream, static_docs, sink, threshold=0.5, num_hashes=32, bands=16
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    # batch twin: same bands + exact verify
+    batch_docs = spark.createDataFrame(stream_rows, "doc_id long, text string")
+    bb = minhash_bands(batch_docs, 32, 16)
+    sb = minhash_bands(static_docs, 32, 16).withColumnRenamed("doc_id", "static_id")
+    cand = (
+        bb.join(sb, ["band", "bucket"]).select("doc_id", "static_id").distinct()
+    )
+    import pyspark.sql.functions as F2
+
+    ta = batch_docs.select("doc_id", F2.array_distinct(F2.split("text", " ")).alias("ta"))
+    tb = static_docs.select(
+        F2.col("doc_id").alias("static_id"),
+        F2.array_distinct(F2.split("text", " ")).alias("tb"),
+    )
+    j = cand.join(ta, "doc_id").join(tb, "static_id")
+    inter = F2.size(F2.array_intersect("ta", "tb"))
+    exp = {
+        (r.doc_id, r.static_id, r.j)
+        for r in j.select(
+            "doc_id", "static_id",
+            F2.round(inter.cast("double") / (F2.size("ta") + F2.size("tb") - inter), 5).alias("j"),
+        ).filter(F2.col("j") >= 0.5).collect()
+    }
+    assert set(got) == exp
+    flagged = {d for d, _, _ in got}
+    assert 0 in flagged and 1 in flagged and 2 not in flagged

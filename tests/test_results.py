@@ -240,3 +240,13 @@ def test_procs_call_write_mode_hits(spark):
     g = _graph(spark)
     r = _row(call("algo.hits", g, max_iterations=3, write=True))
     assert r["maxHub"] > 0.0
+
+
+def test_katz_call_write_mode(spark):
+    from linkgraph import procs
+
+    g = _graph(spark)
+    r = _row(procs.call("algo.katz", g, write=True, alpha=0.1, max_iterations=6))
+    assert r["sumCentrality"] > 0.0
+    # every node has rank >= beta = 1, so the sum exceeds the node count
+    assert r["sumCentrality"] >= g.nodes.count()

@@ -311,3 +311,40 @@ def test_perplexity_buckets_ordering_and_sizes(spark):
     # scores agree with lm_score
     lm = {r["doc_id"]: r["avg_logprob"] for r in lm_score(docs).collect()}
     assert all(abs(lm[r["doc_id"]] - r["avg_logprob"]) < 1e-12 for r in out)
+
+
+def test_reship_after_source_edit_does_not_poison_executors(spark):
+    """Regression: ship_package used a FIXED zip name, so re-shipping after
+    any package edit into a live JVM made every subsequent task fail with
+    'exists and does not match contents'. Content-hashed names fix it:
+    a changed zip is a new file, an unchanged one re-adds identical bytes."""
+    import os
+    import time
+
+    import linkgraph
+    from linkgraph.session import ship_package
+
+    ship_package(spark)
+    # bump an mtime: zips embed file times, so the archive bytes change —
+    # the exact trigger of the old same-name/different-content failure
+    probe = os.path.join(os.path.dirname(os.path.abspath(linkgraph.__file__)), "__init__.py")
+    st = os.stat(probe)
+    os.utime(probe, (st.st_atime, st.st_mtime + 2))
+    try:
+        ship_package(spark)
+        # distributed work (Arrow UDF → executors fetch dependencies) must
+        # still succeed after the re-ship
+        import pandas as pd
+
+        df = spark.range(100).selectExpr("id", "id % 4 AS k")
+        got = (
+            df.groupBy("k")
+            .applyInPandas(
+                lambda pdf: pd.DataFrame({"k": [pdf["k"].iloc[0]], "n": [len(pdf)]}),
+                schema="k long, n long",
+            )
+            .count()
+        )
+        assert got == 4
+    finally:
+        os.utime(probe, (st.st_atime, st.st_mtime))
