@@ -33,13 +33,15 @@ def _ensure_store(graph: Graph, direction: str, store_path: str | None) -> tuple
     """Distributed CSR block-store build (idempotent). Returns (path, n).
 
     On a cluster `store_path` must live on shared storage (same contract as
-    PageRank's block_store); the local-mode default is a tempdir.
+    PageRank's block_store); the local-mode default is a plan-keyed cached
+    tempdir (blocks.cached_store_dir) so repeat runs on the same logical
+    graph — walker batches, bench medians, betweenness re-runs — skip the
+    store rebuild.
     """
-    import tempfile
-
-    if store_path is None:
-        store_path = tempfile.mkdtemp(prefix="linkgraph_csrstore_")
     n = int(graph.nodes.agg(F.max("id")).first()[0]) + 1
+    if store_path is None:
+        key = blocks.semantic_store_key(graph.edges, "csr", direction, n)
+        store_path, _hit = blocks.cached_store_dir(key, "linkgraph_csrstore_")
     if blocks.store_exists(store_path):
         blocks.validate_store(store_path, "push")
         m = blocks.read_manifest(store_path)

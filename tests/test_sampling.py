@@ -216,3 +216,40 @@ def test_walk_skipgram_pairs_reference(spark):
                 if x >= 0 and y >= 0:
                     exp[(x, y)] += 1
     assert got == dict(exp)
+
+
+def test_pull_store_cache_reuses_and_isolates(spark, monkeypatch):
+    """The plan-keyed store cache must (a) skip the rebuild on a repeat
+    run over the same logical edges and (b) never serve one graph's store
+    to a different graph."""
+    import linkgraph.algorithms.blocks as B
+    from linkgraph.graph import Graph
+    from linkgraph.algorithms.pagerank import katz_centrality
+
+    builds = []
+    real_write = B.write_pull_blocks
+
+    def counting_write(*a, **kw):
+        builds.append(1)
+        return real_write(*a, **kw)
+
+    monkeypatch.setattr(B, "write_pull_blocks", counting_write)
+
+    def graph_of(pairs, n):
+        e = spark.createDataFrame(
+            [(s, d, 1.0) for s, d in pairs], "src long, dst long, weight double"
+        )
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        return Graph.from_edges(e, nodes=nodes)
+
+    g1 = graph_of([(0, 1), (1, 2), (2, 0)], 3)
+    g2 = graph_of([(0, 1), (1, 0), (2, 1)], 3)
+
+    r1a = {r.id: r.rank for r in katz_centrality(g1, 0.1, 1.0, 5).collect()}
+    n_after_first = len(builds)
+    r1b = {r.id: r.rank for r in katz_centrality(g1, 0.1, 1.0, 5).collect()}
+    assert len(builds) == n_after_first  # repeat: no rebuild
+    assert r1a == r1b
+    r2 = {r.id: r.rank for r in katz_centrality(g2, 0.1, 1.0, 5).collect()}
+    assert len(builds) > n_after_first  # different graph: its own store
+    assert r2 != r1a  # and genuinely different results
