@@ -1,0 +1,94 @@
+"""DIMSUM sampled all-pairs cosine similarity (Zadeh & Carlson 2013,
+"Dimension Independent Matrix Square using MapReduce"; shipped in Spark
+MLlib as RowMatrix.columnSimilarities).
+
+Column-column cosine over a (row, col, val) triplet matrix. The naive
+per-row pair emission is Σ_row nnz(row)² — a stopword-shaped row (a token
+appearing in millions of documents) alone breaks it. DIMSUM keeps each
+entry with probability min(1, √γ / ‖c‖) and scales kept values by
+1 / min(√γ, ‖c‖); summed pair products are then an UNBIASED estimator of
+cosine(ci, cj), with relative error O(1/√γ) for column norms ≥ √γ — the
+magnitude-proportional sampling bounds every row's fan-out independently
+of the heaviest column (hence "dimension independent").
+
+Engine twist: the sampling coin is NOT an RNG stream — it is a
+deterministic md5-derived uniform per (row, col), so the whole estimator
+(coins included) replays bit-identically in ANSI SQL; the contract oracle
+recomputes sampling + estimate end-to-end, and results are invariant to
+partitioning and engine.
+
+Scale shape: one groupBy(col) for norms (broadcastable — #cols ≪ nnz),
+one row-keyed self-join of the FILTERED entry table (expected entries per
+row bounded by γ-scaled mass, the point of the algorithm), one pair-sum
+groupBy with map-side combine; top-k is TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_HEX15 = float(16**15)
+
+
+def _unit_uniform(row: F.Column, col: F.Column) -> F.Column:
+    """Deterministic pseudo-uniform in (0,1) from (row, col) — same
+    md5-hex-prefix construction as text.weighted_sample (engine-stable)."""
+    h = F.md5(F.concat_ws(":", row.cast("string"), col.cast("string")))
+    return (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("double") + F.lit(0.5)
+    ) / F.lit(_HEX15)
+
+
+def dimsum_cosine(
+    triplets: DataFrame,
+    gamma: float,
+    k: int = 100,
+    row_col: str = "row",
+    col_col: str = "col",
+    val_col: str = "val",
+) -> DataFrame:
+    """→ (col_a, col_b, cos_est) — top-k column pairs by estimated cosine
+    similarity, ordered (cos_est desc, col_a, col_b), rounded to 5 digits
+    BEFORE ordering so the cut is float-stable across engines.
+
+    γ ≥ max ‖c‖² keeps every entry (estimate == exact cosine); smaller γ
+    trades accuracy on low-norm columns for a hard per-row fan-out bound.
+    """
+    t = triplets.select(
+        F.col(row_col).alias("row"),
+        F.col(col_col).alias("col"),
+        F.col(val_col).cast("double").alias("val"),
+    )
+    norms = t.groupBy("col").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("norm")
+    )
+    sg = float(gamma) ** 0.5
+    kept = (
+        t.join(F.broadcast(norms), "col")
+        .where(_unit_uniform(F.col("row"), F.col("col")) < F.lit(sg) / F.col("norm"))
+        .select(
+            "row",
+            "col",
+            (F.col("val") / F.least(F.lit(sg), F.col("norm"))).alias("s"),
+        )
+    )
+    a = kept.select("row", F.col("col").alias("col_a"), F.col("s").alias("sa"))
+    b = kept.select("row", F.col("col").alias("col_b"), F.col("s").alias("sb"))
+    est = (
+        a.join(b, "row")
+        .where(F.col("col_a") < F.col("col_b"))
+        .groupBy("col_a", "col_b")
+        .agg(F.round(F.sum(F.col("sa") * F.col("sb")), 5).alias("cos_est"))
+    )
+    return est.orderBy(F.desc("cos_est"), "col_a", "col_b").limit(k)
+
+
+def doc_token_triplets(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(row=token, col=doc_id, val=1.0) — binary token-incidence triplets:
+    with these, column cosine(doc_a, doc_b) = |Ta ∩ Tb| / √(|Ta|·|Tb|)
+    (the Ochiai/cosine set similarity over distinct token sets)."""
+    return docs.select(
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("row"),
+        F.col("doc_id").alias("col"),
+        F.lit(1.0).alias("val"),
+    ).where(F.col("row") != "")

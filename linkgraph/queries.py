@@ -1649,6 +1649,45 @@ ORDER BY pmi DESC, tok_a, tok_b
 LIMIT {PMI_K}"""
 
 
+DIMSUM_GAMMA = 16.0
+DIMSUM_K = 100
+
+
+def q_dimsum_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIMSUM sampled all-pairs doc cosine (Zadeh-Carlson 2013 /
+    RowMatrix.columnSimilarities) over binary token-incidence triplets:
+    magnitude-proportional sampling bounds every token row's pair fan-out
+    independently of stopword df. Coins are deterministic md5 uniforms,
+    so the ORACLE replays sampling + estimation end-to-end in SQL."""
+    from linkgraph.pipeline.dimsum import dimsum_cosine, doc_token_triplets
+
+    trips = doc_token_triplets(load_documents(spark, sf_dir))
+    return dimsum_cosine(trips, gamma=DIMSUM_GAMMA, k=DIMSUM_K)
+
+
+def sql_dimsum_cosine() -> str:
+    sg = DIMSUM_GAMMA ** 0.5
+    return f"""
+WITH trip AS MATERIALIZED (
+  SELECT DISTINCT tok AS row, doc_id AS col FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u
+  WHERE tok <> ''),
+norms AS MATERIALIZED (
+  SELECT col, SQRT(CAST(COUNT(*) AS DOUBLE)) AS norm FROM trip GROUP BY col),
+kept AS MATERIALIZED (
+  SELECT t.row, t.col, 1.0 / LEAST({sg!r}, n.norm) AS s
+  FROM trip t JOIN norms n ON t.col = n.col
+  WHERE (CAST(concat('0x', substr(md5(t.row || ':' || CAST(t.col AS VARCHAR)), 1, 15)) AS BIGINT)
+         + 0.5) / 1152921504606846976.0 < {sg!r} / n.norm),
+est AS (
+  SELECT a.col AS col_a, b.col AS col_b, ROUND(SUM(a.s * b.s), 5) AS cos_est
+  FROM kept a JOIN kept b ON a.row = b.row AND a.col < b.col
+  GROUP BY 1, 2)
+SELECT col_a, col_b, cos_est FROM est
+ORDER BY cos_est DESC, col_a, col_b
+LIMIT {DIMSUM_K}"""
+
+
 SND_THRESHOLD = 0.8
 
 
@@ -3568,6 +3607,7 @@ QUERIES = {
     "doc_katz": q_doc_katz,
     "stream_near_dup": q_stream_near_dup,
     "walk_skipgram": q_walk_skipgram,
+    "dimsum_cosine": q_dimsum_cosine,
     "gopher_rules": q_gopher_rules,
     "mix_report": q_mix_report,
     "ngram_repetition": q_ngram_repetition,
@@ -3704,6 +3744,7 @@ ORACLES = {
     "weighted_sample": sql_weighted_sample(),
     "doc_katz": sql_doc_katz(),
     "stream_near_dup": sql_stream_near_dup(),
+    "dimsum_cosine": sql_dimsum_cosine(),
     "bm25_topk": sql_bm25_topk(),
     "perplexity_buckets": sql_perplexity_buckets(),
     "mix_report": sql_mix_report(),
