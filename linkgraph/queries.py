@@ -3549,7 +3549,7 @@ QUERIES = {
     # oracles and are verifiable via tools/check_contract.py.
     # ------------------------------------------------------------------
     "doc_pagerank": q_doc_pagerank,
-    "source_pagerank": q_source_pagerank,
+    "stream_near_dup": q_stream_near_dup,
     "doc_sssp": q_doc_sssp,
     "doc_bfs": q_doc_bfs,
     "doc_closeness": q_doc_closeness,
@@ -3560,7 +3560,7 @@ QUERIES = {
     "doc_triangles": q_doc_triangles,
     "doc_balanced_triads": q_doc_balanced_triads,
     "doc_reciprocity": q_doc_reciprocity,
-    "emb_sq_topk": q_emb_sq_topk,
+    "dimsum_cosine": q_dimsum_cosine,
     "doc_hits": q_doc_hits,
     "doc_source_graph": q_doc_source_graph,
     "doc_degree": q_doc_degree,
@@ -3605,9 +3605,9 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "bpe_merges": q_bpe_merges,
     "doc_katz": q_doc_katz,
-    "stream_near_dup": q_stream_near_dup,
     "walk_skipgram": q_walk_skipgram,
-    "dimsum_cosine": q_dimsum_cosine,
+    "emb_sq_topk": q_emb_sq_topk,
+    "source_pagerank": q_source_pagerank,
     "gopher_rules": q_gopher_rules,
     "mix_report": q_mix_report,
     "ngram_repetition": q_ngram_repetition,
