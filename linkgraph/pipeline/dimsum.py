@@ -17,7 +17,7 @@ deterministic md5-derived uniform per (row, col), so the whole estimator
 recomputes sampling + estimate end-to-end, and results are invariant to
 partitioning and engine.
 
-Scale shape: one groupBy(col) for norms (broadcastable — #cols ≪ nnz),
+Scale shape: one groupBy(col) for norms (AQE broadcasts when small),
 one row-keyed self-join of the FILTERED entry table (expected entries per
 row bounded by γ-scaled mass, the point of the algorithm), one pair-sum
 groupBy with map-side combine; top-k is TakeOrderedAndProject.
@@ -63,8 +63,11 @@ def dimsum_cosine(
         F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("norm")
     )
     sg = float(gamma) ** 0.5
+    # norms join: one row per column — AQE broadcasts it when small; no
+    # forced broadcast (columns can be documents: 1e9+ rows at corpus
+    # scale, where this must stay a shuffle join on col)
     kept = (
-        t.join(F.broadcast(norms), "col")
+        t.join(norms, "col")
         .where(_unit_uniform(F.col("row"), F.col("col")) < F.lit(sg) / F.col("norm"))
         .select(
             "row",

@@ -254,8 +254,10 @@ def weighted_sample(
     top-n — no global sort, no window. The at-scale curriculum/mixture
     sampler: weight = quality score or temperature-scaled source weight.
     """
-    # 15 hex digits = 60 bits — exact in int64 and in the double mantissa
-    # division below (both engines parse hex identically)
+    # 15 hex digits = 60 bits: exact in int64; the int->double conversion
+    # below drops bits past the 53-bit mantissa, but BOTH engines apply
+    # the same round-to-nearest, so the keys (and the sample) still agree
+    # bit-for-bit across Spark / DuckDB / Python
     u = (
         F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
         .cast("double")
