@@ -195,6 +195,9 @@ def cached_store_dir(key: tuple | None, prefix: str) -> tuple[str, bool]:
             return path, True
     path = tempfile.mkdtemp(prefix=prefix)
     if key is not None:
+        stale = _STORE_DIR_CACHE.get(key)
+        if stale is not None:  # half-built dir from a failed run — reclaim
+            shutil.rmtree(stale, ignore_errors=True)
         _STORE_DIR_CACHE[key] = path
         while len(_STORE_DIR_CACHE) > _STORE_DIR_CACHE_MAX:
             old_key = next(iter(_STORE_DIR_CACHE))

@@ -429,6 +429,63 @@ def _pull_power_iteration(
             shutil.rmtree(path, ignore_errors=True)
 
 
+def _join_power_loop(
+    nodes: DataFrame,
+    edges: DataFrame,
+    share_fn,
+    update_fn,
+    max_iterations: int,
+    tolerance: float | None = None,
+    step_post=None,
+):
+    """Shared join-strategy power-iteration scaffold — the
+    non-contiguous-id fallback for ArticleRank / Eigenvector / Katz (one
+    implementation instead of three hand-kept copies). Per iteration: one
+    edges⋈share shuffle + map-side-combining groupBy(dst).sum + left-join
+    update, eager localCheckpoint, optional per-step post-transform
+    (eigenvector's L2 stabilization) and max|Δ| early exit.
+
+    The superseded checkpoint is unpersisted once the next iterate is
+    materialized and its delta read — otherwise every iteration pins one
+    full rank-table copy in the block manager for the life of the plan.
+    Returns (ranks, converged)."""
+    ranks = nodes.select("id", F.lit(1.0).alias("rank"))
+    prev_ck = None
+    converged = False
+    for _ in range(max_iterations):
+        share = share_fn(ranks)
+        contribs = (
+            edges.join(share, edges.src == share.id)
+            .groupBy("dst")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        new_ck = (
+            nodes.join(contribs, nodes.id == contribs.dst, "left")
+            .select(
+                "id",
+                update_fn(F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_ranks = step_post(new_ck) if step_post is not None else new_ck
+        delta = None
+        if tolerance is not None:
+            delta = (
+                new_ranks.alias("n")
+                .join(ranks.alias("o"), "id")
+                .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))))
+                .first()[0]
+            ) or 0.0
+        if prev_ck is not None:
+            prev_ck.unpersist()
+        prev_ck = new_ck
+        ranks = new_ranks
+        if tolerance is not None and delta < tolerance:
+            converged = True
+            break
+    return ranks, converged
+
+
 def article_rank(
     graph: Graph,
     damping: float = 0.85,
@@ -468,41 +525,16 @@ def article_rank(
             pd.DataFrame({"id": np.arange(n), "rank": p})
         )
 
-    ranks = nodes.select("id", F.lit(1.0).alias("rank"))
-    converged = False
-    for _ in range(max_iterations):
-        share = ranks.join(outdeg, "id").select(
+    ranks, _converged = _join_power_loop(
+        nodes,
+        edges,
+        share_fn=lambda r: r.join(outdeg, "id").select(
             "id", (F.col("rank") / (F.col("deg") + F.lit(avg_deg))).alias("share")
-        )
-        contribs = (
-            edges.join(share, edges.src == share.id)
-            .groupBy("dst")
-            .agg(F.sum("share").alias("contrib"))
-        )
-        new_ranks = (
-            nodes.join(contribs, nodes.id == contribs.dst, "left")
-            .select(
-                "id",
-                (
-                    F.lit(1.0 - damping)
-                    + damping * F.coalesce(F.col("contrib"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        if tolerance is not None:
-            delta = (
-                new_ranks.alias("n")
-                .join(ranks.alias("o"), "id")
-                .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))))
-                .first()[0]
-            ) or 0.0
-            ranks = new_ranks
-            if delta < tolerance:
-                converged = True
-                break
-        else:
-            ranks = new_ranks
+        ),
+        update_fn=lambda c: F.lit(1.0 - damping) + damping * c,
+        max_iterations=max_iterations,
+        tolerance=tolerance,
+    )
     return ranks
 
 
@@ -544,21 +576,20 @@ def eigenvector_centrality(
             pd.DataFrame({"id": np.arange(n), "rank": p})
         )
 
-    ranks = nodes.select("id", F.lit(1.0).alias("rank"))
-    for _ in range(max_iterations):
-        contribs = (
-            edges.join(ranks, edges.src == ranks.id)
-            .groupBy("dst")
-            .agg(F.sum("rank").alias("contrib"))
-        )
-        new_ranks = nodes.join(contribs, nodes.id == contribs.dst, "left").select(
-            "id", F.coalesce(F.col("contrib"), F.lit(0.0)).alias("rank")
-        )
-        new_ranks = new_ranks.localCheckpoint(eager=True)
-        norm = new_ranks.agg(F.sqrt(F.sum(F.col("rank") * F.col("rank")))).first()[0] or 1.0
+    def _l2_post(ck: DataFrame) -> DataFrame:
+        norm = ck.agg(F.sqrt(F.sum(F.col("rank") * F.col("rank")))).first()[0] or 1.0
         if norm == 0.0:
             norm = 1.0
-        ranks = new_ranks.select("id", (F.col("rank") / F.lit(norm)).alias("rank"))
+        return ck.select("id", (F.col("rank") / F.lit(norm)).alias("rank"))
+
+    ranks, _converged = _join_power_loop(
+        nodes,
+        edges,
+        share_fn=lambda r: r.select("id", F.col("rank").alias("share")),
+        update_fn=lambda c: c,
+        max_iterations=max_iterations,
+        step_post=_l2_post,
+    )
     if normalization == "max":
         mx = ranks.agg(F.max("rank")).first()[0] or 1.0
         ranks = ranks.select("id", (F.col("rank") / F.lit(mx or 1.0)).alias("rank"))
@@ -607,34 +638,12 @@ def katz_centrality(
             pd.DataFrame({"id": np.arange(n), "rank": p})
         )
 
-    ranks = nodes.select("id", F.lit(1.0).alias("rank"))
-    for _ in range(max_iterations):
-        contribs = (
-            edges.join(ranks, edges.src == ranks.id)
-            .groupBy("dst")
-            .agg(F.sum("rank").alias("contrib"))
-        )
-        new_ranks = (
-            nodes.join(contribs, nodes.id == contribs.dst, "left")
-            .select(
-                "id",
-                (
-                    F.lit(beta)
-                    + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        if tolerance is not None:
-            delta = (
-                new_ranks.alias("n")
-                .join(ranks.alias("o"), "id")
-                .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))))
-                .first()[0]
-            ) or 0.0
-            ranks = new_ranks
-            if delta < tolerance:
-                break
-        else:
-            ranks = new_ranks
+    ranks, _converged = _join_power_loop(
+        nodes,
+        edges,
+        share_fn=lambda r: r.select("id", F.col("rank").alias("share")),
+        update_fn=lambda c: F.lit(beta) + F.lit(alpha) * c,
+        max_iterations=max_iterations,
+        tolerance=tolerance,
+    )
     return ranks

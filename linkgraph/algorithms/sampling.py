@@ -12,18 +12,24 @@ Scale shape
 -----------
 The naive formulation is a row_number window partitioned by src — one
 reducer per node, which a power-law hub (degree 1e8+) turns into a
-straggler. Instead the per-node top-f runs as a SALTED TWO-STAGE
-aggregation (same pattern as the salted gather in pagerank/blocks):
+straggler. Bounding it takes TWO mechanisms, because collect_list's
+final merge still holds a whole group regardless of salting:
 
-  stage 1: groupBy(src, hash(dst) % S)  -> partial top-f per salt bucket
-           (collect_list supports partial aggregation, so the map-side
-            combine already caps each bucket's state at f structs)
-  stage 2: groupBy(src)                 -> merge S partial lists, re-sort,
-           take f
+1. THRESHOLD PREFILTER: since rank hashes are uniform on [0, M), a
+   node of degree d expects its f smallest hashes below M·(c·f/d) for
+   oversample factor c — so edges with hash ≥ that per-node threshold
+   are dropped BEFORE any aggregation (one degree join + a map-side
+   filter). Expected surviving edges per node: c·f, independent of d —
+   the 1e8-degree hub contributes ~c·f rows, not 1e8.
+2. EXACT FALLBACK: a node whose prefilter kept fewer than min(f, d)
+   edges (Poisson tail, rare) is re-sampled over its full adjacency, so
+   the result is EXACTLY the deterministic top-f — never approximate.
 
-min-f-by-key is associative, so the two-stage result is exactly the
-single-window result, but no reducer ever sees more than S·f rows per
-node. Per hop: one bounded shuffle; the frontier join is broadcast-able
+The per-node top-f over survivors runs as a salted two-stage
+aggregation (groupBy(src, hash(dst)%S) partial sort-slice, then
+groupBy(src) merge) — min-f-by-key is associative, so this equals the
+single-window result without planning a Window operator at all. Per
+hop: bounded shuffles only; the frontier join is broadcast-able
 whenever the seed set is small (Catalyst/AQE decide).
 
 Reference parity: the reference engine has no sampler proc (closest is
@@ -54,21 +60,15 @@ def _rank_hash(src: F.Column | str, dst: F.Column | str) -> F.Column:
     ) % F.lit(HASH_M)
 
 
-def sample_neighbors(
-    edges: DataFrame, fanout: int, salt_buckets: int = 8
-) -> DataFrame:
-    """(src, dst) — for each src keep the `fanout` neighbors with the
-    smallest (rank_hash, dst); exact min-f via salted two-stage agg."""
-    h = _rank_hash("src", "dst")
-    partial = (
-        edges.select("src", "dst")
-        .withColumn("_h", h)
-        .groupBy("src", F.pmod(F.xxhash64("dst"), F.lit(salt_buckets)).alias("_s"))
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list(F.struct("_h", "dst"))), 1, fanout
-            ).alias("part")
-        )
+def _topf_salted(withh: DataFrame, fanout: int, salt_buckets: int) -> DataFrame:
+    """Exact per-src min-`fanout` by (_h, dst) via salted two-stage agg —
+    associative, so identical to a row_number window without one."""
+    partial = withh.groupBy(
+        "src", F.pmod(F.xxhash64("dst"), F.lit(salt_buckets)).alias("_s")
+    ).agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("_h", "dst"))), 1, fanout
+        ).alias("part")
     )
     merged = partial.groupBy("src").agg(
         F.slice(F.array_sort(F.flatten(F.collect_list("part"))), 1, fanout).alias(
@@ -78,6 +78,51 @@ def sample_neighbors(
     return merged.select("src", F.explode("top").alias("t")).select(
         "src", F.col("t.dst").alias("dst")
     )
+
+
+def sample_neighbors(
+    edges: DataFrame,
+    fanout: int,
+    salt_buckets: int = 8,
+    oversample: float = 4.0,
+) -> DataFrame:
+    """(src, dst) — for each src keep the `fanout` neighbors with the
+    smallest (rank_hash, dst). Exact at every degree; reducer state is
+    bounded by the threshold prefilter + rare-node fallback (see module
+    docstring): a hub's adjacency never reaches an aggregation buffer."""
+    e = edges.select("src", "dst")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    withh = e.join(deg, "src").withColumn("_h", _rank_hash("src", "dst"))
+    thresh = (
+        F.least(F.lit(1.0), F.lit(float(oversample * fanout)) / F.col("_d"))
+        * F.lit(float(HASH_M))
+    )
+    pref = withh.where(F.col("_h") < thresh).localCheckpoint(eager=True)
+    # deficiency check: nodes whose prefilter kept fewer than min(f, d)
+    # rows cannot be proven complete — re-rank their FULL adjacency (the
+    # Poisson left tail at mean oversample*f: rare, and each is one node)
+    kcnt = pref.groupBy("src").agg(
+        F.count(F.lit(1)).alias("_k"), F.max("_d").alias("_d")
+    )
+    deficient = (
+        deg.join(kcnt.select("src", "_k"), "src", "left")
+        .where(
+            F.coalesce(F.col("_k"), F.lit(0))
+            < F.least(F.lit(fanout).cast("long"), F.col("_d"))
+        )
+        .select("src")
+    )
+    ok = _topf_salted(
+        pref.join(deficient, "src", "left_anti").select("src", "dst", "_h"),
+        fanout,
+        salt_buckets,
+    )
+    fallback = _topf_salted(
+        withh.join(deficient, "src").select("src", "dst", "_h"),
+        fanout,
+        salt_buckets,
+    )
+    return ok.unionByName(fallback)
 
 
 def k_hop_sample(
@@ -92,6 +137,8 @@ def k_hop_sample(
     touched adjacency lists are read (predicate reaches the scan when
     `edges` is a plain source). One localCheckpoint per hop truncates
     lineage — the frontier feeds both the output and the next hop."""
+    if not fanouts:
+        raise ValueError("fanouts must name at least one hop, e.g. (25, 10)")
     frontier = seeds.select(
         F.col(seeds.columns[0]).cast("long").alias("src")
     ).distinct()

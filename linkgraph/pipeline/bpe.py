@@ -150,7 +150,10 @@ def bpe_segment(
     # merges can never cross a word boundary
     for a, b, _ in merges:
         col = _merge_pair(col, a, b)
-    n_units = F.size(F.filter(col, lambda s: s != " "))
+    # filter both the ' ' boundary symbols and the lone '' that
+    # F.split('', '') yields for an empty/whitespace-only document —
+    # without it every empty doc would be billed 1 unit
+    n_units = F.size(F.filter(col, lambda s: (s != " ") & (s != "")))
     return docs.select(
         "doc_id", n_units.cast("long").alias("n_bpe_units")
     )

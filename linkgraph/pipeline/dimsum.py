@@ -27,16 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-_HEX15 = float(16**15)
-
-
-def _unit_uniform(row: F.Column, col: F.Column) -> F.Column:
-    """Deterministic pseudo-uniform in (0,1) from (row, col) — same
-    md5-hex-prefix construction as text.weighted_sample (engine-stable)."""
-    h = F.md5(F.concat_ws(":", row.cast("string"), col.cast("string")))
-    return (
-        F.conv(F.substring(h, 1, 15), 16, 10).cast("double") + F.lit(0.5)
-    ) / F.lit(_HEX15)
+from linkgraph.pipeline.text import md5_uniform
 
 
 def dimsum_cosine(
@@ -68,7 +59,7 @@ def dimsum_cosine(
     # scale, where this must stay a shuffle join on col)
     kept = (
         t.join(norms, "col")
-        .where(_unit_uniform(F.col("row"), F.col("col")) < F.lit(sg) / F.col("norm"))
+        .where(md5_uniform(F.col("row"), F.col("col")) < F.lit(sg) / F.col("norm"))
         .select(
             "row",
             "col",

@@ -236,6 +236,22 @@ def stratified_sample(
     )
 
 
+def md5_uniform(*cols: F.Column) -> F.Column:
+    """Deterministic pseudo-uniform in (0,1) from the given columns —
+    THE engine's cross-engine random source (weighted_sample, DIMSUM
+    coins): md5 of the ':'-joined string forms, first 15 hex digits as an
+    integer, +0.5, / 16^15. The int→double conversion drops bits past the
+    53-bit mantissa, but Spark, DuckDB, and Python all apply the same
+    round-to-nearest, so values agree bit-for-bit across engines. Keep
+    this recipe single-sourced — its SQL twin is
+    `(CAST(concat('0x', substr(md5(<expr>), 1, 15)) AS BIGINT) + 0.5)
+    / 1152921504606846976.0` with <expr> = the ':'-joined operands."""
+    h = F.md5(F.concat_ws(":", *[c.cast("string") for c in cols]))
+    return (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("double") + F.lit(0.5)
+    ) / F.lit(float(16**15))
+
+
 def weighted_sample(
     docs: DataFrame,
     weight: F.Column,
@@ -254,16 +270,7 @@ def weighted_sample(
     top-n — no global sort, no window. The at-scale curriculum/mixture
     sampler: weight = quality score or temperature-scaled source weight.
     """
-    # 15 hex digits = 60 bits: exact in int64; the int->double conversion
-    # below drops bits past the 53-bit mantissa, but BOTH engines apply
-    # the same round-to-nearest, so the keys (and the sample) still agree
-    # bit-for-bit across Spark / DuckDB / Python
-    u = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
-        .cast("double")
-        + F.lit(0.5)
-    ) / F.lit(float(16**15))
-    key = F.pow(u, F.lit(1.0) / weight)
+    key = F.pow(md5_uniform(F.col(key_col)), F.lit(1.0) / weight)
     return (
         docs.select(
             F.col(key_col),

@@ -1701,7 +1701,7 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     this equality is stable, not probabilistic per run)."""
     import tempfile
 
-    from linkgraph.streaming import stream_near_dup
+    from linkgraph.streaming import StaticNearDupIndex, stream_near_dup
 
     docs = load_documents(spark, sf_dir).select("doc_id", "text")
     n = docs.count()
@@ -1717,15 +1717,16 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (r["doc_id"], r["static_id"], r["jaccard"]) for r in df.collect()
         )
 
-    q = (
-        stream_near_dup(
-            stream, static_docs, sink, threshold=SND_THRESHOLD,
-            num_hashes=64, bands=32,
+    index = StaticNearDupIndex(static_docs, num_hashes=64, bands=32)
+    try:
+        q = (
+            stream_near_dup(stream, index, sink, threshold=SND_THRESHOLD)
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
+    finally:
+        index.unpersist()
     return spark.createDataFrame(
         sorted(out), "doc_id long, static_id long, jaccard double"
     )
@@ -1748,7 +1749,7 @@ SELECT x.doc_id, x.static_id,
 FROM inter x
 JOIN sizes sa ON sa.doc_id = x.doc_id
 JOIN sizes sb ON sb.doc_id = x.static_id
-WHERE CAST(x.i AS DOUBLE) / (sa.sz + sb.sz - x.i) >= {SND_THRESHOLD}"""
+WHERE ROUND(CAST(x.i AS DOUBLE) / (sa.sz + sb.sz - x.i), 5) >= {SND_THRESHOLD}"""
 
 
 KATZ_ITERS = 15

@@ -299,9 +299,41 @@ def stream_lm_score(
     return stream_docs.writeStream.foreachBatch(_batch)
 
 
+class StaticNearDupIndex:
+    """Precomputed, persisted LSH state for `stream_near_dup`: the static
+    corpus's (band, bucket) table and its distinct-token sets. Build once,
+    share across streams, and `unpersist()` when done — the streaming
+    writer outlives the builder call, so cache lifetime must be explicit
+    (a bare persist inside the stream factory leaks one cached index per
+    invocation in a long-lived session)."""
+
+    def __init__(
+        self,
+        static_docs: DataFrame,
+        num_hashes: int = 64,
+        bands: int = 16,
+        shingle: int = 1,
+        text_col: str = "text",
+    ):
+        from linkgraph.pipeline.dedup import minhash_bands
+
+        self.num_hashes, self.bands, self.shingle = num_hashes, bands, shingle
+        self.bands_df = minhash_bands(
+            static_docs, num_hashes, bands, text_col, seed=42, shingle=shingle
+        ).persist()
+        self.toks_df = static_docs.select(
+            F.col("doc_id").alias("static_id"),
+            F.array_distinct(F.split(F.col(text_col), " ")).alias("tb"),
+        ).persist()
+
+    def unpersist(self) -> None:
+        self.bands_df.unpersist()
+        self.toks_df.unpersist()
+
+
 def stream_near_dup(
     stream_docs: DataFrame,
-    static_docs: DataFrame,
+    static_docs,
     sink_fn,
     threshold: float = 0.8,
     num_hashes: int = 64,
@@ -323,20 +355,29 @@ def stream_near_dup(
     table in stream state, which an unbounded corpus would overflow).
     At scale the static band index is a bucketed table on (band, bucket),
     so the per-batch join is co-located and the small batch side shuffles.
-    """
-    from linkgraph.pipeline.dedup import minhash_bands
 
-    static_bands = minhash_bands(
-        static_docs, num_hashes, bands, text_col, seed=42, shingle=shingle
-    ).persist()
-    static_toks = static_docs.select(
-        F.col("doc_id").alias("static_id"),
-        F.array_distinct(F.split(F.col(text_col), " ")).alias("tb"),
-    ).persist()
+    ``static_docs`` may be a DataFrame (an index is built ad hoc — the
+    caller cannot release its cache; fine for one-shot jobs) or a
+    :class:`StaticNearDupIndex` (preferred for long-lived sessions:
+    build once, share across streams, ``unpersist()`` when done).
+    """
+    if isinstance(static_docs, StaticNearDupIndex):
+        index = static_docs
+    else:
+        index = StaticNearDupIndex(
+            static_docs, num_hashes, bands, shingle, text_col
+        )
+    static_bands = index.bands_df
+    static_toks = index.toks_df
 
     def _batch(df: DataFrame, epoch_id: int) -> None:
+        from linkgraph.pipeline.dedup import minhash_bands
+
+        # band with the INDEX's geometry — a mismatched batch-side banding
+        # would bucket-join apples to oranges
         batch_bands = minhash_bands(
-            df, num_hashes, bands, text_col, seed=42, shingle=shingle
+            df, index.num_hashes, index.bands, text_col, seed=42,
+            shingle=index.shingle,
         )
         cand = (
             batch_bands.join(

@@ -253,3 +253,17 @@ def test_pull_store_cache_reuses_and_isolates(spark, monkeypatch):
     r2 = {r.id: r.rank for r in katz_centrality(g2, 0.1, 1.0, 5).collect()}
     assert len(builds) > n_after_first  # different graph: its own store
     assert r2 != r1a  # and genuinely different results
+
+
+def test_sample_neighbors_fallback_path_exact(spark):
+    """With a tiny oversample factor most nodes fail the prefilter
+    deficiency check and take the full-adjacency fallback — the result
+    must STILL equal the deterministic top-f exactly."""
+    pairs = [(s, d) for s in range(6) for d in range(40) if s != d]
+    got = {
+        (r.src, r.dst)
+        for r in sample_neighbors(
+            _edges(spark, pairs), fanout=5, oversample=0.25
+        ).collect()
+    }
+    assert got == _expected_topf(pairs, 5)
