@@ -122,3 +122,81 @@ def approx_distinct_tokens(
         F.approx_count_distinct("tok", rsd).alias("approx_distinct"),
         F.count_distinct("tok").alias("exact_distinct"),
     )
+
+
+def _cm_cell(tok: F.Column, row: int, width: int) -> F.Column:
+    """Count-Min cell index for hash row `row` — md5-prefix integer mod
+    width (same cross-engine recipe family as text.md5_uniform, so the
+    SQL oracle replays the sketch bit-for-bit; xxhash64 would be faster
+    but DuckDB cannot reproduce it)."""
+    h = F.md5(F.concat_ws(":", tok, F.lit(str(row))))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(width)
+    )
+
+
+def count_min_token_counts(
+    docs: DataFrame,
+    depth: int = 4,
+    width: int = 1024,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (token, est_count) — Count-Min sketch estimates (Cormode &
+    Muthukrishnan 2005) for every distinct token, top-k by (est desc,
+    token). Estimates never undercount; overcount ≤ 2N/width per row,
+    min over `depth` independent rows.
+
+    Scale shape: the sketch is `depth × width` counters built with ONE
+    map-side-combining groupBy over (row, cell) — bounded state
+    regardless of vocabulary size, and sketches of partitions/streams
+    merge by cell-wise addition (the groupBy IS the merge). Point
+    queries join the distinct-token table against the d·w-row sketch
+    (broadcast) and take the row-wise min. Everything is JVM codegen —
+    no Python in either pass.
+    """
+    toks = docs.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    toks = toks.where(F.col("tok") != "")
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cm_cell(F.col("tok"), r, width).alias("c"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rc")
+    )
+    sketch = (
+        cells.select("rc.r", "rc.c")
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    qtok = toks.distinct()
+    qcells = qtok.select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cm_cell(F.col("tok"), r, width).alias("c"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select("tok", "rc.r", "rc.c")
+    est = (
+        qcells.join(F.broadcast(sketch), ["r", "c"])
+        .groupBy("tok")
+        .agg(F.min("n").alias("est_count"))
+    )
+    return (
+        est.select(F.col("tok").alias("token"), "est_count")
+        .orderBy(F.desc("est_count"), "token")
+        .limit(k)
+    )

@@ -1649,6 +1649,51 @@ ORDER BY pmi DESC, tok_a, tok_b
 LIMIT {PMI_K}"""
 
 
+CM_DEPTH = 4
+CM_WIDTH = 64  # deliberately small at test scale so collisions exercise the min
+CM_K = 50
+
+
+def q_cm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch token-count estimates (Cormode-Muthukrishnan):
+    bounded d x w counter state regardless of vocabulary, cell-wise
+    mergeable, never undercounts. Cross-engine md5 cell hash, so the
+    oracle replays sketch build + point queries exactly."""
+    from linkgraph.pipeline.sketch import count_min_token_counts
+
+    return count_min_token_counts(
+        load_documents(spark, sf_dir), depth=CM_DEPTH, width=CM_WIDTH, k=CM_K
+    )
+
+
+def sql_cm_token_counts() -> str:
+    rows = ", ".join(str(r) for r in range(CM_DEPTH))
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT tok FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents) u
+  WHERE tok <> ''),
+cells AS MATERIALIZED (
+  SELECT r,
+         CAST(concat('0x', substr(md5(tok || ':' || CAST(r AS VARCHAR)), 1, 15)) AS BIGINT)
+           % {CM_WIDTH} AS c
+  FROM toks, unnest([{rows}]) AS t(r)),
+sketch AS MATERIALIZED (
+  SELECT r, c, CAST(COUNT(*) AS BIGINT) AS n FROM cells GROUP BY r, c),
+qcells AS (
+  SELECT tok, r,
+         CAST(concat('0x', substr(md5(tok || ':' || CAST(r AS VARCHAR)), 1, 15)) AS BIGINT)
+           % {CM_WIDTH} AS c
+  FROM (SELECT DISTINCT tok FROM toks) q, unnest([{rows}]) AS t(r)),
+est AS (
+  SELECT q.tok, MIN(s.n) AS est_count
+  FROM qcells q JOIN sketch s ON q.r = s.r AND q.c = s.c
+  GROUP BY q.tok)
+SELECT tok AS token, est_count FROM est
+ORDER BY est_count DESC, token
+LIMIT {CM_K}"""
+
+
 DIMSUM_GAMMA = 16.0
 DIMSUM_K = 100
 
@@ -3607,6 +3652,7 @@ QUERIES = {
     "bpe_merges": q_bpe_merges,
     "doc_katz": q_doc_katz,
     "walk_skipgram": q_walk_skipgram,
+    "cm_token_counts": q_cm_token_counts,
     "emb_sq_topk": q_emb_sq_topk,
     "source_pagerank": q_source_pagerank,
     "gopher_rules": q_gopher_rules,
@@ -3746,6 +3792,7 @@ ORACLES = {
     "doc_katz": sql_doc_katz(),
     "stream_near_dup": sql_stream_near_dup(),
     "dimsum_cosine": sql_dimsum_cosine(),
+    "cm_token_counts": sql_cm_token_counts(),
     "bm25_topk": sql_bm25_topk(),
     "perplexity_buckets": sql_perplexity_buckets(),
     "mix_report": sql_mix_report(),

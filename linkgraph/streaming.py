@@ -178,6 +178,73 @@ def stateful_distinct_degree(
     )
 
 
+def stream_heavy_hitters(
+    docs: DataFrame,
+    k_per_group: int = 64,
+    n_groups: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Running heavy-hitter candidates over an unbounded document stream —
+    sharded Misra-Gries via `applyInPandasWithState`.
+
+    Tokens hash into ``n_groups`` shards; each shard keeps ONE mergeable
+    MG summary of ``k_per_group`` counters as its state (Agarwal et al.,
+    Mergeable Summaries). Within a shard the MG guarantee holds: any
+    token with frequency ≥ m_shard/(k+1) of that shard's mass survives,
+    so the union of shard summaries is a guaranteed-superset candidate
+    set for global heavy hitters (each token lives in exactly one shard).
+    State is ≤ n_groups × k_per_group counters FOREVER, regardless of
+    stream length or vocabulary — the property that lets this run against
+    an unbounded corpus where exact streaming word-count state would grow
+    with |vocab|.
+
+    → update-mode stream of (grp, token, est) — current surviving
+    counters per shard; filter/exact-verify downstream (same
+    candidates → exact-verify shape as the batch `heavy_hitters`).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    toks = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    keyed = toks.withColumn(
+        "grp", F.pmod(F.xxhash64("tok"), F.lit(n_groups)).cast("int")
+    )
+
+    def update(key, pdfs, state):
+        (grp,) = key
+        if state.exists:
+            toks_s, counts_s = state.get
+            counters = dict(zip(toks_s, (int(c) for c in counts_s)))
+        else:
+            counters = {}
+        for pdf in pdfs:
+            vc = pdf["tok"].value_counts()
+            for tok, c in vc.items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > k_per_group:
+                kth = sorted(counters.values(), reverse=True)[k_per_group]
+                counters = {t: c - kth for t, c in counters.items() if c > kth}
+        state.update((list(counters.keys()), list(counters.values())))
+        yield pd.DataFrame(
+            {
+                "grp": grp,
+                "token": list(counters.keys()),
+                "est": [int(v) for v in counters.values()],
+            }
+        )
+
+    return keyed.groupBy("grp").applyInPandasWithState(
+        update,
+        "grp int, token string, est long",
+        "toks array<string>, counts array<long>",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def incremental_wcc(
     edge_stream: DataFrame,
     state_dir: str,

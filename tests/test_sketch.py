@@ -90,3 +90,67 @@ def test_assortativity_matches_numpy(spark):
     ys = np.array([idg[d] for _, d in pairs], dtype=float)
     want = np.corrcoef(xs, ys)[0, 1]  # sample Pearson == corrcoef
     assert abs(got - round(want, 6)) < 1e-9
+
+
+def test_count_min_never_undercounts_and_exact_when_wide(spark):
+    from collections import Counter
+
+    from linkgraph.pipeline.sketch import count_min_token_counts
+
+    texts = [(i, " ".join(f"w{j % 9}" for j in range(i, i + 12))) for i in range(20)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    exact = Counter(t for _, s in texts for t in s.split(" "))
+
+    # narrow sketch: estimates are an upper bound on the true counts
+    est_narrow = {
+        r.token: r.est_count
+        for r in count_min_token_counts(docs, depth=4, width=8, k=100).collect()
+    }
+    for tok, est in est_narrow.items():
+        assert est >= exact[tok], (tok, est, exact[tok])
+
+    # wide sketch (width >> vocab): every estimate collapses to the truth
+    est_wide = {
+        r.token: r.est_count
+        for r in count_min_token_counts(docs, depth=4, width=4096, k=100).collect()
+    }
+    assert est_wide == dict(exact)
+
+
+def test_count_min_partition_invariant(spark):
+    from linkgraph.pipeline.sketch import count_min_token_counts
+
+    texts = [(i, " ".join(f"t{(i * j) % 13}" for j in range(10))) for i in range(30)]
+    d1 = spark.createDataFrame(texts, "doc_id long, text string")
+    d2 = spark.createDataFrame(texts, "doc_id long, text string").repartition(7)
+    a = sorted(map(tuple, count_min_token_counts(d1, width=16, k=100).collect()))
+    b = sorted(map(tuple, count_min_token_counts(d2, width=16, k=100).collect()))
+    assert a == b
+
+
+def test_stream_heavy_hitters_superset_of_batch(spark, tmp_path):
+    """The shard-MG streaming candidates must contain every batch
+    phi-heavy token (the MG superset guarantee, per shard)."""
+    from linkgraph.pipeline.sketch import exact_heavy_hitters
+    from linkgraph.streaming import run_available_now, stream_heavy_hitters
+
+    texts = [
+        (i, ("hot " * 20 + f"cold{i} rare{i % 7} " + "warm " * 5).strip())
+        for i in range(40)
+    ]
+    src_dir = str(tmp_path / "hh_stream")
+    spark.createDataFrame(texts, "doc_id long, text string").write.parquet(src_dir)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src_dir)
+    rows = run_available_now(
+        stream_heavy_hitters(stream, k_per_group=8, n_groups=4),
+        "hh_stream_q",
+        output_mode="update",
+    )
+    # latest estimate per (grp, token) — update mode may emit several
+    surviving = {r["token"] for r in rows}
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    heavy = {r.token for r in exact_heavy_hitters(docs, phi=0.05).collect()}
+    assert heavy, "fixture must produce at least one heavy token"
+    assert heavy <= surviving
+    # state bound: at most n_groups * k_per_group distinct counters
+    assert len(surviving) <= 4 * 8
