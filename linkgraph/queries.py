@@ -1649,6 +1649,20 @@ ORDER BY pmi DESC, tok_a, tok_b
 LIMIT {PMI_K}"""
 
 
+def q_doc_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral node embedding (orthogonal iteration on the normalized
+    adjacency, k=2) — the Ng-Jordan-Weiss clustering basis. Rows-only
+    (eigendecomposition is not SQL-expressible); numpy subspace-parity
+    goldens in tests/test_spectral.py."""
+    from linkgraph.algorithms.spectral import spectral_embedding
+
+    g = doc_graph(spark, sf_dir)
+    emb = spectral_embedding(g, k=2, max_iterations=40)
+    return emb.select(
+        "id", F.transform("vec", lambda x: F.round(x, 6)).alias("vec")
+    )
+
+
 CM_DEPTH = 4
 CM_WIDTH = 64  # deliberately small at test scale so collisions exercise the min
 CM_K = 50
@@ -3653,6 +3667,7 @@ QUERIES = {
     "doc_katz": q_doc_katz,
     "walk_skipgram": q_walk_skipgram,
     "cm_token_counts": q_cm_token_counts,
+    "doc_spectral": q_doc_spectral,
     "emb_sq_topk": q_emb_sq_topk,
     "source_pagerank": q_source_pagerank,
     "gopher_rules": q_gopher_rules,
