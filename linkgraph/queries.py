@@ -1649,6 +1649,68 @@ ORDER BY pmi DESC, tok_a, tok_b
 LIMIT {PMI_K}"""
 
 
+KNNC_N = 300
+KNNC_K = 3
+KNNC_ROUNDS = 14
+
+
+def q_emb_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end embedding clustering: brute-force cosine kNN graph
+    (k=3 over the first 300 vectors) -> symmetrize -> distributed WCC.
+    The full composition is SQL-replayable (ROW_NUMBER kNN + unrolled
+    hash-min pointer jumping), so the ORACLE checks the pipeline end to
+    end — the 100 TB variant swaps the brute-force front for IVF/LSH
+    candidates, identical tail."""
+    from linkgraph.algorithms.wcc import wcc
+    from linkgraph.graph import Graph
+    from linkgraph.pipeline.ann import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < KNNC_N
+    )
+    knn = cosine_topk_bruteforce(emb, emb, k=KNNC_K)
+    edges = (
+        knn.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(knn.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    return wcc(Graph.from_edges(edges, nodes=nodes)).select("id", "component")
+
+
+def sql_emb_knn_components() -> str:
+    parts = [
+        f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE vec_id < {KNNC_N}),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         ROUND(list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+knn AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a ORDER BY cosine DESC, b ASC) AS rn
+    FROM pairs) WHERE rn <= {KNNC_K}),
+ke AS MATERIALIZED (SELECT a AS src, b AS dst FROM knn UNION SELECT b, a FROM knn),
+l0 AS (SELECT vec_id AS id, vec_id AS comp FROM v)"""
+    ]
+    for k in range(1, KNNC_ROUNDS + 1):
+        parts.append(
+            f""", m{k} AS MATERIALIZED (
+  SELECT l.id, LEAST(l.comp, COALESCE(nm.nmin, l.comp)) AS comp
+  FROM l{k - 1} l LEFT JOIN (
+    SELECT u.dst AS id, MIN(p.comp) AS nmin FROM ke u JOIN l{k - 1} p ON u.src = p.id GROUP BY u.dst
+  ) nm ON l.id = nm.id)
+, l{k} AS MATERIALIZED (
+  SELECT m.id, COALESCE(p2.comp, m.comp) AS comp
+  FROM m{k} m LEFT JOIN m{k} p2 ON m.comp = p2.id)"""
+        )
+    parts.append(f"SELECT id, comp AS component FROM l{KNNC_ROUNDS}")
+    return "\n".join(parts)
+
+
 def q_doc_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spectral node embedding (orthogonal iteration on the normalized
     adjacency, k=2) — the Ng-Jordan-Weiss clustering basis. Rows-only
@@ -3668,6 +3730,7 @@ QUERIES = {
     "walk_skipgram": q_walk_skipgram,
     "cm_token_counts": q_cm_token_counts,
     "doc_spectral": q_doc_spectral,
+    "emb_knn_components": q_emb_knn_components,
     "emb_sq_topk": q_emb_sq_topk,
     "source_pagerank": q_source_pagerank,
     "gopher_rules": q_gopher_rules,
@@ -3808,6 +3871,7 @@ ORACLES = {
     "stream_near_dup": sql_stream_near_dup(),
     "dimsum_cosine": sql_dimsum_cosine(),
     "cm_token_counts": sql_cm_token_counts(),
+    "emb_knn_components": sql_emb_knn_components(),
     "bm25_topk": sql_bm25_topk(),
     "perplexity_buckets": sql_perplexity_buckets(),
     "mix_report": sql_mix_report(),
