@@ -33,24 +33,33 @@ from linkgraph.graph import Graph
 
 
 def _sym_normalized_edges(graph: Graph) -> DataFrame:
-    """(src, dst, weight=1/sqrt(d_src*d_dst)) over the symmetrized edge
-    set — both directions present, so N·x is one gather per direction."""
-    sym = graph.edges.select("src", "dst").unionByName(
-        graph.edges.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst")
+    """(src, dst, w/sqrt(s_src*s_dst)) over the symmetrized edge set —
+    both directions present, so N·x is one gather per direction. Edge
+    weights are HONORED (the NJW formulation over the weighted adjacency):
+    s_u is the weighted degree; parallel duplicates are weight-summed."""
+    e = graph.edges.select(
+        "src", "dst", F.coalesce(F.col("weight"), F.lit(1.0)).alias("w")
+    )
+    sym = (
+        e.unionByName(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
         )
-    ).distinct()
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    deg = sym.groupBy("src").agg(F.sum("w").alias("s"))
     return (
         sym.join(deg, "src")
         .join(
-            deg.select(F.col("src").alias("dst"), F.col("d").alias("d2")),
+            deg.select(F.col("src").alias("dst"), F.col("s").alias("s2")),
             "dst",
         )
         .select(
             "src",
             "dst",
-            (F.lit(1.0) / F.sqrt(F.col("d") * F.col("d2"))).alias("weight"),
+            (F.col("w") / F.sqrt(F.col("s") * F.col("s2"))).alias("weight"),
         )
     )
 
@@ -62,12 +71,14 @@ def spectral_embedding(
     tolerance: float = 1e-7,
     seed: int = 42,
 ) -> DataFrame:
-    """→ (id, vec: array<double>[k], eigenvalues broadcast in metadata) —
-    row i of the n×k dominant-eigenvector basis of the normalized
-    adjacency. Deterministic: the start basis comes from a seeded RNG and
-    every step is exact linear algebra, so results are partition- and
-    run-invariant. Sign convention: each column's largest-|entry|
-    component is made positive (eigenvectors are sign-ambiguous)."""
+    """→ (id, vec: array<double>[k]) — row i of the n×k dominant-
+    eigenvector basis of the normalized adjacency (k is clamped to n).
+    Deterministic: the start basis comes from a seeded RNG and every step
+    is exact linear algebra, so results are partition- and run-invariant.
+    Sign convention: each column's largest-|entry| component is made
+    positive (eigenvectors are sign-ambiguous). The final Rayleigh
+    eigenvalue estimates are exposed as ``spectral_embedding.last_eigenvalues``
+    after each call (driver-side diagnostics, not part of the schema)."""
     nodes = graph.nodes.select("id")
     row = nodes.agg(
         F.count("id").alias("c"), F.min("id").alias("mn"), F.max("id").alias("mx")
@@ -94,20 +105,21 @@ def spectral_embedding(
             # raw weights: normalization is baked into the edge weight
             blocks.write_pull_blocks(edges, b, path, normalize=False)
 
+        k = min(k, n)  # qr of an n×k start basis caps the rank at n
         rng = np.random.RandomState(seed)
         X, _ = np.linalg.qr(rng.standard_normal((n, k)))
+        evals = np.zeros(k)
         prev_evals = np.zeros(k)
         for _ in range(max_iterations):
-            Y = np.column_stack(
-                [blocks.pull_superstep(sc, path, b, n, X[:, j]) for j in range(k)]
-            )
+            # ONE broadcast + ONE job per iteration for all k columns
+            Y = blocks.pull_superstep_multi(sc, path, b, n, X)
             # Rayleigh quotients before re-orthonormalization
             evals = np.einsum("ij,ij->j", X, Y)
             X, _ = np.linalg.qr(Y)
             if np.abs(evals - prev_evals).max() < tolerance:
-                prev_evals = evals
                 break
             prev_evals = evals
+        spectral_embedding.last_eigenvalues = evals.copy()
         # deterministic sign: largest-|entry| component positive per column
         for j in range(k):
             i = int(np.abs(X[:, j]).argmax())
@@ -115,8 +127,11 @@ def spectral_embedding(
                 X[:, j] = -X[:, j]
         import pandas as pd
 
+        # .tolist() converts to plain Python floats — numpy.float64
+        # elements crash createDataFrame on sessions without Arrow
+        # enabled (the external driver harness supplies such a session)
         out = pd.DataFrame(
-            {"id": np.arange(n, dtype=np.int64), "vec": list(map(list, X))}
+            {"id": np.arange(n, dtype=np.int64), "vec": X.tolist()}
         )
         return nodes.sparkSession.createDataFrame(
             out, "id long, vec array<double>"

@@ -30,26 +30,34 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
+def mg_update(counters: dict, toks: "pd.Series", k: int) -> dict:
+    """One batched Misra–Gries step: merge the batch's exact value_counts
+    into `counters`, then decrement by the (k+1)-th largest weight when
+    the summary overflows k entries (equivalent error bound to the
+    per-item update: undercount ≤ m/(k+1)). THE shared MG invariant —
+    used by the batch partition summaries AND the streaming shard state;
+    keep it single-sourced."""
+    vc = toks.value_counts()
+    for tok, c in vc.items():
+        counters[tok] = counters.get(tok, 0) + int(c)
+    if len(counters) > k:
+        # subtract the (k+1)-th largest count from everything; drop <=0
+        kth = sorted(counters.values(), reverse=True)[k]
+        counters = {t: c - kth for t, c in counters.items() if c > kth}
+    return counters
+
+
 def _misra_gries_partition(
     batches: Iterator[pd.DataFrame], k: int
 ) -> Iterator[pd.DataFrame]:
     """One Misra–Gries summary (k counters) over ALL Arrow batches of a
-    partition. Vectorized per batch: exact value_counts of the batch is
-    merged into the running summary, then the summary is decremented by
-    its own (k+1)-th largest weight when it overflows k entries — the
-    batch-level MG step (equivalent error bound to the per-item update:
-    undercount ≤ m_partition/(k+1))."""
+    partition (mergeable per Agarwal et al.; the compress step lives in
+    :func:`mg_update`)."""
     counters: dict[str, int] = {}
     for pdf in batches:
         if pdf.empty:
             continue
-        vc = pdf["tok"].value_counts()
-        for tok, c in vc.items():
-            counters[tok] = counters.get(tok, 0) + int(c)
-        if len(counters) > k:
-            # subtract the (k+1)-th largest count from everything; drop <=0
-            kth = sorted(counters.values(), reverse=True)[k]
-            counters = {t: c - kth for t, c in counters.items() if c > kth}
+        counters = mg_update(counters, pdf["tok"], k)
     yield pd.DataFrame(
         {"tok": list(counters.keys()), "est": list(counters.values())}
     ).astype({"tok": "string", "est": "int64"})

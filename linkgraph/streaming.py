@@ -214,6 +214,8 @@ def stream_heavy_hitters(
     )
 
     def update(key, pdfs, state):
+        from linkgraph.pipeline.sketch import mg_update
+
         (grp,) = key
         if state.exists:
             toks_s, counts_s = state.get
@@ -221,12 +223,7 @@ def stream_heavy_hitters(
         else:
             counters = {}
         for pdf in pdfs:
-            vc = pdf["tok"].value_counts()
-            for tok, c in vc.items():
-                counters[tok] = counters.get(tok, 0) + int(c)
-            if len(counters) > k_per_group:
-                kth = sorted(counters.values(), reverse=True)[k_per_group]
-                counters = {t: c - kth for t, c in counters.items() if c > kth}
+            counters = mg_update(counters, pdf["tok"], k_per_group)
         state.update((list(counters.keys()), list(counters.values())))
         yield pd.DataFrame(
             {

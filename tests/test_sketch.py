@@ -152,5 +152,25 @@ def test_stream_heavy_hitters_superset_of_batch(spark, tmp_path):
     heavy = {r.token for r in exact_heavy_hitters(docs, phi=0.05).collect()}
     assert heavy, "fixture must produce at least one heavy token"
     assert heavy <= surviving
-    # state bound: at most n_groups * k_per_group distinct counters
-    assert len(surviving) <= 4 * 8
+
+
+def test_mg_update_state_bound_and_superset():
+    """The shared MG step keeps <= k counters after every batch and never
+    evicts a token whose true count exceeds the accumulated decrement
+    bound m/(k+1) — asserted directly on the pure function (the streaming
+    union-of-emissions cannot observe state size across micro-batches)."""
+    import pandas as pd
+
+    from linkgraph.pipeline.sketch import mg_update
+
+    counters: dict = {}
+    total = 0
+    for b in range(6):
+        toks = ["hot"] * 30 + [f"rare{b}_{i}" for i in range(20)]
+        total += len(toks)
+        counters = mg_update(counters, pd.Series(toks), k=8)
+        assert len(counters) <= 8
+    # 'hot' holds 180/220 of the mass — MG must retain it
+    assert "hot" in counters
+    assert counters["hot"] <= 180  # never overcounts
+    assert counters["hot"] >= 180 - total / (8 + 1) - 1
