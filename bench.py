@@ -128,6 +128,9 @@ def main() -> None:
     timed("doc_katz", Q.q_doc_katz)
     timed("doc_khop_sample", Q.q_doc_khop_sample)
     timed("skipgram_pairs", Q.q_skipgram_pairs)
+    timed("dimsum_cosine", Q.q_dimsum_cosine)
+    timed("cm_token_counts", Q.q_cm_token_counts)
+    timed("emb_knn_components", Q.q_emb_knn_components)
 
     canary_mid = host_canary()
 
