@@ -136,3 +136,60 @@ def packing_stats(packed: DataFrame, seq_len: int = 512) -> DataFrame:
             F.sum("n_tokens") / (F.ceil(F.sum("n_tokens") / seq_len) * seq_len), 4
         ).alias("fill_rate"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+    text_col: str = "text",
+    min_tail: int = 1,
+) -> DataFrame:
+    """(doc_id, chunk_idx, n_chunk_tokens, chunk_text) — fixed-size token
+    windows with overlap: window i covers tokens [i*stride, i*stride +
+    chunk_tokens). The per-document chunker every pretraining / retrieval
+    pipeline runs before tokenization; `stride < chunk_tokens` gives
+    overlapping windows (RAG), `stride == chunk_tokens` (default) gives
+    the disjoint pretraining split. Trailing windows shorter than
+    `min_tail` tokens are dropped.
+
+    Scale shape: entirely row-local — `split` once, `sequence` over chunk
+    starts, `slice` + `concat_ws` per window, then one explode. Zero
+    joins, zero shuffle, whole-stage codegen; output rows per doc =
+    ceil((T - chunk_tokens)/stride) + 1, memory bounded by the longest
+    document. (Contrast pack_sequences, which packs ACROSS documents and
+    therefore needs the distributed prefix sum — chunking never does.)
+    """
+    if stride is None:
+        stride = chunk_tokens
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    n = F.size(toks)
+    # chunk starts: 0, stride, 2*stride, ... while start < n (>=1 chunk/doc)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.lit(0),
+            F.floor((n.cast("double") - 1) / stride).cast("int") * stride,
+        ),
+        F.lit(stride),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.slice(toks, s + 1, chunk_tokens).alias("w"),
+        ),
+    )
+    out = (
+        docs.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.size("c.w").cast("long").alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.col("c.w")).alias("chunk_text"),
+        )
+        .where(F.col("n_chunk_tokens") >= min_tail)
+    )
+    return out

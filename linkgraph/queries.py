@@ -1649,6 +1649,38 @@ ORDER BY pmi DESC, tok_a, tok_b
 LIMIT {PMI_K}"""
 
 
+CHUNK_TOKENS = 8
+CHUNK_STRIDE = 6
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window document chunking with overlap (chunk=8 tokens,
+    stride=6 — the RAG/pretraining chunker). Pure row-local codegen:
+    split once, sequence of starts, slice per window, one explode."""
+    from linkgraph.pipeline.sessions import chunk_documents
+
+    return chunk_documents(
+        load_documents(spark, sf_dir),
+        chunk_tokens=CHUNK_TOKENS,
+        stride=CHUNK_STRIDE,
+    )
+
+
+def sql_chunk_documents() -> str:
+    c, s = CHUNK_TOKENS, CHUNK_STRIDE
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS l
+  FROM documents),
+st AS (
+  SELECT doc_id, l, unnest(range(0, CAST(len(l) AS BIGINT), {s})) AS s FROM t)
+SELECT doc_id, CAST(s // {s} AS INTEGER) AS chunk_idx,
+       CAST(len(list_slice(l, CAST(s+1 AS BIGINT), CAST(s+{c} AS BIGINT))) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(l, CAST(s+1 AS BIGINT), CAST(s+{c} AS BIGINT)), ' ') AS chunk_text
+FROM st
+WHERE len(list_slice(l, CAST(s+1 AS BIGINT), CAST(s+{c} AS BIGINT))) >= 1"""
+
+
 KNNC_N = 300
 KNNC_K = 3
 KNNC_ROUNDS = 14
@@ -3731,6 +3763,7 @@ QUERIES = {
     "cm_token_counts": q_cm_token_counts,
     "doc_spectral": q_doc_spectral,
     "emb_knn_components": q_emb_knn_components,
+    "chunk_documents": q_chunk_documents,
     "emb_sq_topk": q_emb_sq_topk,
     "source_pagerank": q_source_pagerank,
     "gopher_rules": q_gopher_rules,
@@ -3872,6 +3905,7 @@ ORACLES = {
     "dimsum_cosine": sql_dimsum_cosine(),
     "cm_token_counts": sql_cm_token_counts(),
     "emb_knn_components": sql_emb_knn_components(),
+    "chunk_documents": sql_chunk_documents(),
     "bm25_topk": sql_bm25_topk(),
     "perplexity_buckets": sql_perplexity_buckets(),
     "mix_report": sql_mix_report(),

@@ -348,3 +348,43 @@ def test_reship_after_source_edit_does_not_poison_executors(spark):
         assert got == 4
     finally:
         os.utime(probe, (st.st_atime, st.st_mtime))
+
+
+def test_chunk_documents_reference(spark):
+    from linkgraph.pipeline.sessions import chunk_documents
+
+    texts = [
+        (0, "a b c d e f g h i j"),   # 10 tokens
+        (1, "x y z"),                  # shorter than one chunk
+        (2, ""),                       # empty: no chunks
+        (3, "  p  q "),                # stray spaces filtered
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(docs, chunk_tokens=4, stride=3).collect()
+    }
+
+    exp = {}
+    for did, t in texts:
+        toks = [w for w in t.split(" ") if w]
+        s = 0
+        i = 0
+        while s < len(toks):
+            w = toks[s : s + 4]
+            exp[(did, i)] = (len(w), " ".join(w))
+            s += 3
+            i += 1
+    assert got == exp
+    # overlap: doc 0 chunk 0 ends with the token chunk 1 starts after
+    assert got[(0, 0)][1] == "a b c d" and got[(0, 1)][1] == "d e f g"
+    assert (2, 0) not in got  # empty doc emits nothing
+
+
+def test_chunk_documents_disjoint_default(spark):
+    from linkgraph.pipeline.sessions import chunk_documents
+
+    docs = spark.createDataFrame([(0, " ".join(str(i) for i in range(9)))],
+                                 "doc_id long, text string")
+    rows = chunk_documents(docs, chunk_tokens=4).orderBy("chunk_idx").collect()
+    assert [r.chunk_text for r in rows] == ["0 1 2 3", "4 5 6 7", "8"]
