@@ -594,3 +594,38 @@ def remove_boilerplate_spans(
         F.coalesce("n_blocks", F.lit(0)).alias("n_blocks"),
         F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame, threshold: float = 0.8, text_col: str = "text"
+) -> DataFrame:
+    """(cluster, doc_id, n_tokens) — ONE survivor per near-duplicate
+    cluster, chosen by quality instead of min-id: the longest document
+    (token count), ties to the smallest doc_id. This is the dedup policy
+    production pipelines actually want — the min-id representative is an
+    arbitrary member; the longest member is usually the least-truncated
+    copy.
+
+    Scale shape: the cluster build is `near_duplicate_clusters`; the
+    selection is ONE `max_by` aggregation (partial-aggregatable — a
+    million-member cluster contributes one candidate per map task, never
+    a per-cluster sort or window)."""
+    comp = near_duplicate_clusters(docs, threshold, text_col)
+    q = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        ).cast("long").alias("n_tokens"),
+    )
+    joined = comp.select("doc_id", "cluster").join(q, "doc_id")
+    best = joined.groupBy("cluster").agg(
+        F.max_by(
+            F.struct("doc_id", "n_tokens"),
+            F.struct(F.col("n_tokens"), -F.col("doc_id")),
+        ).alias("b")
+    )
+    return best.select(
+        "cluster",
+        F.col("b.doc_id").alias("doc_id"),
+        F.col("b.n_tokens").alias("n_tokens"),
+    )

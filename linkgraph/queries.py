@@ -2282,11 +2282,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_duplicate_clusters(load_documents(spark, sf_dir), threshold=0.8)
 
 
-def sql_dedup_clusters(rounds: int = 12) -> str:
+def sql_dedup_clusters(
+    rounds: int = 12,
+    final: str = (
+        "\nSELECT id AS doc_id, comp AS cluster, id = comp AS is_representative"
+        "\nFROM c{last}"
+    ),
+) -> str:
     """Min-propagation + pointer-jumping closure over the SQL pair graph.
     12 unrolled rounds (each ~doubles the covered distance) handle chain
     diameters far beyond contract-scale clusters — 6 rounds provably
-    mislabeled a 200-doc sliding-window chain."""
+    mislabeled a 200-doc sliding-window chain. ``final`` formats against
+    ``last`` (the converged closure CTE) so compositions (keep-best
+    selection) reuse the identical cluster build."""
     parts = [_JACCARD_PAIRS_CTE + """,
 pe AS MATERIALIZED (
   SELECT a AS src, b AS dst FROM sim WHERE jaccard >= 0.8
@@ -2301,10 +2309,33 @@ c0 AS (SELECT doc_id AS id, doc_id AS comp FROM documents)"""]
 , c{k} AS MATERIALIZED (
   SELECT m.id, COALESCE(p2.comp, m.comp) AS comp
   FROM n{k} m LEFT JOIN n{k} p2 ON m.comp = p2.id)""")
-    parts.append(f"""
-SELECT id AS doc_id, comp AS cluster, id = comp AS is_representative
-FROM c{rounds}""")
+    parts.append(final.format(last=rounds))
     return "\n".join(parts)
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: one survivor per near-dup cluster — the
+    LONGEST member (token count), ties to min doc_id. Selection is one
+    partial-aggregatable max_by, never a per-cluster window."""
+    from linkgraph.pipeline.dedup import dedup_keep_best
+
+    return dedup_keep_best(load_documents(spark, sf_dir), threshold=0.8)
+
+
+def sql_dedup_keep_best() -> str:
+    return sql_dedup_clusters(
+        final="""
+, tokc AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens
+  FROM documents)
+, ranked AS (
+  SELECT c.comp AS cluster, c.id AS doc_id, t.n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY c.comp
+                            ORDER BY t.n_tokens DESC, c.id ASC) AS rn
+  FROM c{last} c JOIN tokc t ON t.doc_id = c.id)
+SELECT cluster, doc_id, n_tokens FROM ranked WHERE rn = 1"""
+    )
 
 
 KCORE_ROUNDS = 24
@@ -3764,6 +3795,7 @@ QUERIES = {
     "doc_spectral": q_doc_spectral,
     "emb_knn_components": q_emb_knn_components,
     "chunk_documents": q_chunk_documents,
+    "dedup_keep_best": q_dedup_keep_best,
     "emb_sq_topk": q_emb_sq_topk,
     "source_pagerank": q_source_pagerank,
     "gopher_rules": q_gopher_rules,
@@ -3906,6 +3938,7 @@ ORACLES = {
     "cm_token_counts": sql_cm_token_counts(),
     "emb_knn_components": sql_emb_knn_components(),
     "chunk_documents": sql_chunk_documents(),
+    "dedup_keep_best": sql_dedup_keep_best(),
     "bm25_topk": sql_bm25_topk(),
     "perplexity_buckets": sql_perplexity_buckets(),
     "mix_report": sql_mix_report(),

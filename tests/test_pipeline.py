@@ -1190,3 +1190,26 @@ def test_stream_near_dup_matches_batch(spark, tmp_path):
     assert set(got) == exp
     flagged = {d for d, _, _ in got}
     assert 0 in flagged and 1 in flagged and 2 not in flagged
+
+
+def test_dedup_keep_best_picks_longest(spark):
+    """Keep-best survivor = longest member of each near-dup cluster,
+    ties to min doc_id; singletons survive as themselves."""
+    from linkgraph.pipeline.dedup import dedup_keep_best
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base + " iota"),          # same cluster, LONGER -> survivor
+            (2, base.replace("beta", "bete")),  # same cluster, same len as 0
+            (3, "completely different words that share nothing at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup_keep_best(docs, threshold=0.7).collect()
+    survivors = {r.cluster: (r.doc_id, r.n_tokens) for r in rows}
+    # docs 0,1,2 cluster together (min-id cluster 0); doc 1 is longest
+    assert survivors[0] == (1, 9)
+    assert survivors[3] == (3, 9)
+    assert len(survivors) == 2
