@@ -193,3 +193,47 @@ def chunk_documents(
         .where(F.col("n_chunk_tokens") >= min_tail)
     )
     return out
+
+
+def session_cooccurrence(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    k: int = 100,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    item_col: str = "event_type",
+) -> DataFrame:
+    """(type_a, type_b, n_sessions) — the co-session item graph: unordered
+    item pairs counted by the number of SESSIONS containing both (basket
+    analysis / behavior-graph construction — the edge-mining step before
+    the graph algorithms run on interaction data).
+
+    Scale shape: sessions come from the same native `session_window`
+    aggregate as :func:`sessionize` (one shuffle on user); each session
+    reduces to its SORTED DISTINCT item set, and pair expansion is the
+    row-local nested-transform (zero joins — fan-out bounded by the
+    session's distinct-item count, never the catalog size). The pair
+    count map-side combines; top-k is TakeOrderedAndProject.
+    """
+    sess_items = events.groupBy(
+        F.col(user_col), F.session_window(F.col(ts_col), gap)
+    ).agg(
+        F.sort_array(F.array_distinct(F.collect_list(item_col))).alias("items")
+    )
+    items = F.col("items")
+    pairs = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + F.lit(2), F.size(items)),
+                lambda y: F.struct(x.alias("type_a"), y.alias("type_b")),
+            ),
+        )
+    )
+    counts = (
+        sess_items.select(F.explode(pairs).alias("p"))
+        .select("p.type_a", "p.type_b")
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )
+    return counts.orderBy(F.desc("n_sessions"), "type_a", "type_b").limit(k)

@@ -1649,6 +1649,42 @@ ORDER BY pmi DESC, tok_a, tok_b
 LIMIT {PMI_K}"""
 
 
+def q_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-session item graph: unordered event-type pairs counted by the
+    number of 30-minute sessions containing both — the behavior-log edge
+    miner. Row-local pair expansion over each session's sorted distinct
+    item set; no joins."""
+    from linkgraph.pipeline.sessions import session_cooccurrence
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_cooccurrence(events, gap="30 minutes", k=100)
+
+
+def sql_session_cooccurrence(gap_seconds: int = 1800) -> str:
+    return f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_type, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > {gap_seconds}
+              THEN 1 ELSE 0 END AS nf
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, event_type,
+         SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged),
+st AS MATERIALIZED (SELECT DISTINCT user_id, sid, event_type FROM sess),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM st a JOIN st b
+    ON a.user_id = b.user_id AND a.sid = b.sid AND a.event_type < b.event_type)
+SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM pairs GROUP BY 1, 2
+ORDER BY n_sessions DESC, type_a, type_b
+LIMIT 100"""
+
+
 CHUNK_TOKENS = 8
 CHUNK_STRIDE = 6
 
@@ -3796,6 +3832,7 @@ QUERIES = {
     "emb_knn_components": q_emb_knn_components,
     "chunk_documents": q_chunk_documents,
     "dedup_keep_best": q_dedup_keep_best,
+    "session_cooccurrence": q_session_cooccurrence,
     "emb_sq_topk": q_emb_sq_topk,
     "source_pagerank": q_source_pagerank,
     "gopher_rules": q_gopher_rules,
@@ -3939,6 +3976,7 @@ ORACLES = {
     "emb_knn_components": sql_emb_knn_components(),
     "chunk_documents": sql_chunk_documents(),
     "dedup_keep_best": sql_dedup_keep_best(),
+    "session_cooccurrence": sql_session_cooccurrence(),
     "bm25_topk": sql_bm25_topk(),
     "perplexity_buckets": sql_perplexity_buckets(),
     "mix_report": sql_mix_report(),

@@ -388,3 +388,34 @@ def test_chunk_documents_disjoint_default(spark):
                                  "doc_id long, text string")
     rows = chunk_documents(docs, chunk_tokens=4).orderBy("chunk_idx").collect()
     assert [r.chunk_text for r in rows] == ["0 1 2 3", "4 5 6 7", "8"]
+
+
+def test_session_cooccurrence_reference(spark):
+    import datetime
+
+    from linkgraph.pipeline.sessions import session_cooccurrence
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, user, minutes, etype):
+        return (eid, t0 + datetime.timedelta(minutes=minutes), user, etype, 1.0)
+
+    rows = [
+        # user 1, session A: click+view+buy; session B (2h later): click only
+        ev(0, 1, 0, "click"), ev(1, 1, 5, "view"), ev(2, 1, 10, "buy"),
+        ev(3, 1, 130, "click"),
+        # user 2, one session: click+view (view repeated — distinct once)
+        ev(4, 2, 0, "view"), ev(5, 2, 1, "click"), ev(6, 2, 2, "view"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {
+        (r.type_a, r.type_b): r.n_sessions
+        for r in session_cooccurrence(events, gap="30 minutes").collect()
+    }
+    assert got == {
+        ("buy", "click"): 1,
+        ("buy", "view"): 1,
+        ("click", "view"): 2,
+    }
