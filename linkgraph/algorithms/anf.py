@@ -90,13 +90,21 @@ def neighborhood_function(
     every scale, no driver-side state beyond the H×1 curve itself.
     """
     spark = graph.edges.sparkSession
+    n0 = graph.num_nodes()
+    if n0 == 0:
+        # empty graph: no sketch rows exist, so the estimate aggregate
+        # below would be NULL — N(0) = 0 is the whole curve
+        return spark.createDataFrame(
+            [(0, 0.0)], "h int, neighborhood_estimate double"
+        )
     edges = graph.edges.select(
         F.col("src").alias("_s"), F.col("dst").alias("_d")
     )
     sk = _init_sketches(graph.nodes.select("id"), num_trials).localCheckpoint(
         eager=True
     )
-    curve = [(0, float(graph.num_nodes()))]
+    curve = [(0, float(n0))]
+    stable_hops = 0
     for h in range(1, max_h + 1):
         nbr = (
             edges.join(sk.withColumnRenamed("id", "_d"), "_d")
@@ -108,16 +116,25 @@ def neighborhood_function(
             .agg(F.bit_or("mask").alias("mask"))
             .localCheckpoint(eager=True)
         )
-        est = float(_estimate(sk).agg(F.sum("est")).collect()[0][0])
+        est = float(
+            _estimate(sk).agg(F.coalesce(F.sum("est"), F.lit(0.0))).collect()[0][0]
+        )
         curve.append((h, est))
-        # sketch fixpoint ⟹ estimate fixpoint: successive-sum equality is the
-        # stop rule (one action per hop instead of a second changed-mask
-        # join-count). 1e-9 relative tolerance sits between FP summation
-        # jitter (~1e-15) and the smallest real sketch change (one trial's
-        # mean bit position moving 1/R on one node — ≥ ~1e-7 relative even
-        # at millions of nodes)
+        # estimate-sum plateau is only a NECESSARY sign of the sketch
+        # fixpoint: a hop can grow masks without moving any trial's lowest
+        # unset bit (estimates unchanged, reachable sets still growing), so
+        # one flat hop must not stop the loop. Require TWO consecutive flat
+        # hops — a growing frontier that stays estimate-invariant twice in a
+        # row is vanishingly unlikely across R trials, and the true fixpoint
+        # always satisfies it. 1e-9 relative tolerance sits between FP
+        # summation jitter (~1e-15) and the smallest real estimate change
+        # (one trial's mean bit position moving 1/R on one node).
         if abs(est - curve[-2][1]) <= 1e-9 * max(est, 1.0):
-            break
+            stable_hops += 1
+            if stable_hops >= 2:
+                break
+        else:
+            stable_hops = 0
     return spark.createDataFrame(
         [(h, round(v, 3)) for h, v in curve], "h int, neighborhood_estimate double"
     )

@@ -166,10 +166,44 @@ def read_manifest(path: str) -> dict:
 # immutable once written (_SUCCESS last); validate_store still guards
 # geometry on reuse. NOT keyed by data contents — mutating the underlying
 # files mid-process is out of contract (same assumption the OS-page-cache
-# residency already makes). Bounded: oldest entries evicted + deleted.
+# residency already makes). Bounded: oldest UNPINNED entries evicted +
+# deleted — algorithms pin their store for the duration of a superstep
+# loop so eviction can never delete a directory that is being read.
 # ---------------------------------------------------------------------------
 _STORE_DIR_CACHE: dict[tuple, str] = {}
 _STORE_DIR_CACHE_MAX = 16
+# path → refcount of in-flight algorithm runs reading the store: eviction
+# skips pinned paths, so a long PageRank mid-superstep can never have its
+# block directory rmtree'd out from under it by 16 newer stores
+_STORE_DIR_PINS: dict[str, int] = {}
+
+
+def pin_store(path: str) -> None:
+    _STORE_DIR_PINS[path] = _STORE_DIR_PINS.get(path, 0) + 1
+
+
+def unpin_store(path: str) -> None:
+    n = _STORE_DIR_PINS.get(path, 0) - 1
+    if n <= 0:
+        _STORE_DIR_PINS.pop(path, None)
+    else:
+        _STORE_DIR_PINS[path] = n
+
+
+class pinned_store:
+    """Context manager: pin `path` against LRU eviction for the duration of
+    an algorithm run (use around any superstep loop that re-reads blocks)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def __enter__(self):
+        pin_store(self.path)
+        return self.path
+
+    def __exit__(self, *exc):
+        unpin_store(self.path)
+        return False
 
 
 def semantic_store_key(edges: DataFrame, *extra) -> tuple | None:
@@ -199,10 +233,16 @@ def cached_store_dir(key: tuple | None, prefix: str) -> tuple[str, bool]:
         if stale is not None:  # half-built dir from a failed run — reclaim
             shutil.rmtree(stale, ignore_errors=True)
         _STORE_DIR_CACHE[key] = path
-        while len(_STORE_DIR_CACHE) > _STORE_DIR_CACHE_MAX:
-            old_key = next(iter(_STORE_DIR_CACHE))
-            old = _STORE_DIR_CACHE.pop(old_key)
-            shutil.rmtree(old, ignore_errors=True)
+        # evict oldest UNPINNED entries; a store mid-algorithm-run stays on
+        # disk even if that temporarily overflows the cache bound
+        if len(_STORE_DIR_CACHE) > _STORE_DIR_CACHE_MAX:
+            evictable = [
+                k for k, p in _STORE_DIR_CACHE.items()
+                if p not in _STORE_DIR_PINS and p != path
+            ]
+            for old_key in evictable[: len(_STORE_DIR_CACHE) - _STORE_DIR_CACHE_MAX]:
+                old = _STORE_DIR_CACHE.pop(old_key)
+                shutil.rmtree(old, ignore_errors=True)
     return path, False
 
 

@@ -185,6 +185,10 @@ class PageRank:
 
         converged = False
         step = start_step
+        # pin the block store across the superstep loop so the LRU eviction
+        # in cached_store_dir can never rmtree it mid-run (a crash mid-loop
+        # leaks the pin, which only disables eviction for this one path)
+        blocks.pin_store(block_path)
         while step < self.max_iterations:
             it0 = time.time()
             contrib = blocks.pull_superstep(sc, block_path, b, n, p)
@@ -207,6 +211,7 @@ class PageRank:
 
         self.metrics.iterations = step
         self.metrics.did_converge = converged
+        blocks.unpin_store(block_path)
         if owns_blocks:
             import shutil
 
@@ -310,6 +315,8 @@ class PageRank:
 
         converged = False
         step = start_step
+        if block_path is not None:
+            blocks.pin_store(block_path)  # see pull strategy: guards LRU eviction
         while step < self.max_iterations:
             it0 = time.time()
             if strategy == "csr":
@@ -357,6 +364,8 @@ class PageRank:
         self.metrics.iterations = step
         self.metrics.did_converge = converged
         self.metrics.compute_millis = int((time.time() - t0) * 1000)
+        if block_path is not None:
+            blocks.unpin_store(block_path)
         if owns_blocks and block_path:
             import shutil
 
@@ -407,6 +416,7 @@ def _pull_power_iteration(
     sc = edges.sparkSession.sparkContext
     key = blocks.semantic_store_key(edges, "pullpi", n, denom_add, normalize)
     path, hit = blocks.cached_store_dir(key, "linkgraph_pullpi_")
+    blocks.pin_store(path)
     try:
         if hit:
             b = blocks.validate_store(path, "pull")
@@ -425,6 +435,7 @@ def _pull_power_iteration(
                 break
         return p
     finally:
+        blocks.unpin_store(path)
         if key is None:  # uncached build — nothing owns it, clean up
             shutil.rmtree(path, ignore_errors=True)
 

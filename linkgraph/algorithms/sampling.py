@@ -101,11 +101,9 @@ def sample_neighbors(
     # deficiency check: nodes whose prefilter kept fewer than min(f, d)
     # rows cannot be proven complete — re-rank their FULL adjacency (the
     # Poisson left tail at mean oversample*f: rare, and each is one node)
-    kcnt = pref.groupBy("src").agg(
-        F.count(F.lit(1)).alias("_k"), F.max("_d").alias("_d")
-    )
+    kcnt = pref.groupBy("src").agg(F.count(F.lit(1)).alias("_k"))
     deficient = (
-        deg.join(kcnt.select("src", "_k"), "src", "left")
+        deg.join(kcnt, "src", "left")
         .where(
             F.coalesce(F.col("_k"), F.lit(0))
             < F.least(F.lit(fanout).cast("long"), F.col("_d"))

@@ -97,6 +97,7 @@ def spectral_embedding(
     path, hit = blocks.cached_store_dir(key, "linkgraph_spectral_")
     import shutil
 
+    blocks.pin_store(path)
     try:
         if hit:
             b = blocks.validate_store(path, "pull")
@@ -137,5 +138,6 @@ def spectral_embedding(
             out, "id long, vec array<double>"
         )
     finally:
+        blocks.unpin_store(path)
         if key is None:
             shutil.rmtree(path, ignore_errors=True)

@@ -24,13 +24,23 @@ def _undirected_adj(graph: Graph) -> DataFrame:
     ).distinct()
 
 
+# the previous call's cached adjacency: unpersisted (lazily — consumers
+# just recompute) when the next call arrives, so repeated calls hold at
+# most ONE cached adjacency instead of leaking one per call
+_last_adj: DataFrame | None = None
+
+
 def link_prediction_scores(graph: Graph, pairs: DataFrame) -> DataFrame:
     """pairs(src, dst) → (src, dst, common_neighbors, total_neighbors,
     adamic_adar, resource_allocation, preferential_attachment).
 
     Join-based common-neighbor table; degrees from the undirected view.
     """
+    global _last_adj
+    if _last_adj is not None:
+        _last_adj.unpersist()
     adj = _undirected_adj(graph).persist()
+    _last_adj = adj
     deg = adj.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
 
     n1 = adj.select(F.col("src").alias("p_src"), F.col("dst").alias("z"))

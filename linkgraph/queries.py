@@ -1189,6 +1189,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_sessionize(gap_seconds: int = 1800) -> str:
+    # `>` matches Spark session_window's boundary semantics, verified
+    # empirically (tests/test_advice_r4.py): an event exactly gap seconds
+    # after its predecessor MERGES into the session (touching windows
+    # [t, t+gap) and [t+gap, ...) are merged), so only diff > gap splits
     return f"""
 WITH flagged AS (
   SELECT user_id, ts, value, event_id,
@@ -1661,6 +1665,7 @@ def q_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_session_cooccurrence(gap_seconds: int = 1800) -> str:
+    # `>` = session_window's touching-windows-merge rule (see sql_sessionize)
     return f"""
 WITH flagged AS (
   SELECT user_id, ts, event_type, event_id,
@@ -1902,6 +1907,10 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out: list = []
 
     def sink(df: DataFrame, epoch_id: int) -> None:
+        # driver-list sink is CONTRACT-SCALE ONLY (the gate compares one
+        # small DataFrame); the at-scale form of this foreachBatch writes
+        # each epoch's matches to a table, e.g.
+        # df.write.mode("append").parquet(out_path) — nothing else changes
         out.extend(
             (r["doc_id"], r["static_id"], r["jaccard"]) for r in df.collect()
         )

@@ -47,8 +47,9 @@ def test_anf_exact_on_small_path(spark):
     rows = {r["h"]: r["neighborhood_estimate"] for r in nf.collect()}
     exact = _exact_nf(edges, 4)
     assert rows[0] == 4.0  # N(0) is exact by construction
-    # diameter 3: the loop must stop by h=4 (fixpoint detected at h<=4)
-    assert max(rows) <= 4
+    # diameter 3: stop needs TWO flat hops (h=4 confirms, h=5 double-checks
+    # — a single flat hop is not a sketch fixpoint), so stop by h=5
+    assert max(rows) <= 5
     for h in range(1, max(rows) + 1):
         assert abs(rows[h] - exact[h]) / exact[h] < 0.35  # FM noise at R=64
 
