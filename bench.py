@@ -72,9 +72,16 @@ def main() -> None:
     canary_before = host_canary()
 
     def timed(name, fn):
-        # median of n_runs back-to-back executions: a single run's wall time
-        # on this host is ±75 % noise (r3 post-mortem) — the median is the
-        # recorded number, the raw runs are kept for auditing
+        # ONE untimed warm-up execution, then the median of n_runs timed
+        # executions. The warm-up absorbs first-invocation kernel ramp
+        # (4-12x on this host) that otherwise lands entirely on whichever
+        # queries happen to run first (r4 post-mortem: doc_linkpred was
+        # recorded 12x its controlled time purely from bench position);
+        # the median then handles the residual ±75 % run-to-run noise.
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        warm_s = round(time.time() - t0, 3)
+        gc.collect()
         rs = []
         for _ in range(n_runs):
             t0 = time.time()
@@ -85,7 +92,7 @@ def main() -> None:
             # otherwise back-to-back runs inherit the previous run's block
             # pressure and repeat times drift upward
             gc.collect()
-        query_runs[name] = rs
+        query_runs[name] = {"warmup": warm_s, "runs": rs}
         timings[name] = round(statistics.median(rs), 3)
 
     timed("doc_pagerank", Q.q_doc_pagerank)
@@ -189,13 +196,17 @@ def main() -> None:
     )
     edges_per_sec = max(csr_steady, pull_steady)
 
+    # the stdout JSON line must stay COMPACT: the driver tail-captures it,
+    # and round 4's line (with per-run audit arrays inline) overflowed the
+    # capture and recorded "parsed": null. Medians + canary + scaling go to
+    # stdout; the raw per-run audit payload goes to BENCH/bench_runs.json.
     out = {
         "metric": "pagerank_edges_per_sec",
         "value": round(edges_per_sec, 1),
         "unit": "sec",
         "queries": timings,
-        "query_runs": query_runs,
         "runs_per_query": n_runs,
+        "warmup_per_query": 1,
         "canary": {
             "kernel": "3x matmul 1500x1500 float64",
             "before_sec": canary_before,
@@ -210,6 +221,14 @@ def main() -> None:
             "cpus": cpus,
         },
     }
+    audit_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "bench_runs.json"
+    )
+    try:
+        with open(audit_path, "w") as f:
+            json.dump({"query_runs": query_runs, "headline": out}, f, indent=1)
+    except OSError:
+        pass  # audit file is best-effort; the stdout line is the record
     # attach the latest spark-submit scaling evidence (north rule: two
     # parallelism levels + efficiency) if BENCH/run_scaling.py has run
     scaling_path = os.path.join(

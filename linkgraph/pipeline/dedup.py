@@ -249,22 +249,140 @@ def _clusters_from_pairs(pairs: DataFrame, items: DataFrame, id_col: str) -> Dat
     )
 
 
+def _direct_jaccard_pairs(
+    docs: DataFrame, threshold: float, text_col: str
+) -> DataFrame:
+    """Exact (a, b, jaccard ≥ t) pairs by broadcast-nested-loop verify over
+    ALL pairs (with the two-sided length filter in the join condition).
+
+    This is the small-side regime of the similarity-join cost model: when
+    the number of distinct documents U is small (near_duplicate_clusters
+    gates on U ≤ direct_max AFTER tokenset collapse), U²/2 codegen
+    array_intersects beat building the inverted prefix index — on
+    near-clique fixtures (tiny vocab, most pairs true) the prefix join
+    degenerates to MORE than U² emissions because every "rare" token
+    still has huge df. Same rounding as the index path: value-identical."""
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("t"),
+    ).withColumn("c", F.size("t"))
+    # the stream side of a broadcast-nested-loop join is NOT re-split by the
+    # planner: if docs arrived as one partition (e.g. off a localCheckpoint),
+    # the whole U² scan runs on one core. Spread it across the cluster.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    a = toks.repartition(par).select(
+        F.col("doc_id").alias("a"), F.col("t").alias("ta"), F.col("c").alias("ca")
+    )
+    b = toks.select(
+        F.col("doc_id").alias("b"), F.col("t").alias("tb"), F.col("c").alias("cb")
+    )
+    j = a.join(
+        F.broadcast(b),
+        (F.col("a") < F.col("b"))
+        & (F.col("cb") >= F.ceil(F.lit(threshold) * F.col("ca")))
+        & (F.col("ca") >= F.ceil(F.lit(threshold) * F.col("cb"))),
+    )
+    i = F.size(F.array_intersect("ta", "tb"))
+    return j.select(
+        "a",
+        "b",
+        F.round(i.cast("double") / (F.col("ca") + F.col("cb") - i), 5).alias(
+            "jaccard"
+        ),
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def near_duplicate_clusters(
     docs: DataFrame,
     threshold: float = 0.8,
     text_col: str = "text",
     max_doc_freq: int | None = None,
     strategy: str = "auto",
+    direct_max: int = 20_000,
+    lsh_num_hashes: int = 64,
+    lsh_bands: int = 32,
 ) -> DataFrame:
     """(doc_id, cluster, is_representative) — the end-to-end dedup step a
-    training-data pipeline actually runs: near-dup PAIRS (prefix-filtered
-    exact Jaccard by default — stopwords never enter the join, so no
-    df² term survives at corpus scale) → connected components over the
-    pair graph (distributed WCC) → keep the min-id representative per
-    cluster. Every stage is the shuffle-friendly formulation; nothing
-    touches the driver."""
-    pairs = token_jaccard_pairs(docs, threshold, text_col, max_doc_freq, strategy)
-    return _clusters_from_pairs(pairs, docs, "doc_id")
+    training-data pipeline actually runs: collapse byte-distinct docs with
+    IDENTICAL distinct-token sets (they are J=1 pairs by definition, so
+    only one representative per set needs to enter the pair search), find
+    near-dup PAIRS among the unique sets, run connected components over
+    the pair graph (distributed WCC), pull clusters back through the set
+    key, keep the min-id representative. Nothing touches the driver.
+
+    Pair strategies over the collapsed set-representatives:
+
+    * ``prefix`` — AllPairs prefix-filter index join (exact; the 100 TB
+      default: stopwords never enter the join).
+    * ``direct`` — broadcast-nested-loop exact verify; chosen by ``auto``
+      when the number of distinct sets U ≤ ``direct_max``, where U²/2
+      codegen intersects beat building the index (the prefix join
+      DEGENERATES past U² emissions on tiny-vocab/near-clique data).
+    * ``lsh`` — MinHash-LSH candidate front (``lsh_num_hashes`` /
+      ``lsh_bands``; 64×32 ⇒ rows-per-band 2, candidate recall at
+      J ≥ 0.8 is 1 − (1 − 0.8²)³² ≈ 1 − 6e-15) + exact-Jaccard verify:
+      the sub-quadratic path for corpora whose TRUE pair set is sparse.
+      MinHash is seed-deterministic, so output is stable run-to-run.
+    * ``auto`` — count U once (one cheap aggregate — an adaptive-planning
+      action, same spirit as AQE's runtime join pick): ``direct`` when
+      U ≤ direct_max, else ``prefix``.
+
+    ``max_doc_freq`` keeps the legacy uncollapsed index path (its
+    restricted-vocabulary Jaccard is cutoff-dependent, so collapsing by
+    FULL token set would change the documented semantics)."""
+    if max_doc_freq is not None or strategy == "index":
+        pairs = token_jaccard_pairs(docs, threshold, text_col, max_doc_freq, "index")
+        return _clusters_from_pairs(pairs, docs, "doc_id")
+
+    # 1. collapse to distinct token SETS: key = md5 of the sorted distinct
+    # tokens (tokens cannot contain ' ', so ' '-joining is injective);
+    # null-text docs get a null key and pass through as singletons —
+    # matching the pair path, where explode() drops them entirely
+    toks_sorted = F.sort_array(F.array_distinct(F.split(F.col(text_col), " ")))
+    keyed = docs.select(
+        "doc_id",
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.md5(F.concat_ws(" ", toks_sorted)))
+        .alias("_key"),
+    ).localCheckpoint(eager=True)
+    reps = keyed.where(F.col("_key").isNotNull()).groupBy("_key").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    rep_docs = reps.join(
+        docs.select("doc_id", text_col), "doc_id"
+    ).localCheckpoint(eager=True)
+
+    if strategy == "auto":
+        u = rep_docs.count()
+        strategy = "direct" if u <= direct_max else "prefix"
+    if strategy == "direct":
+        pairs = _direct_jaccard_pairs(rep_docs, threshold, text_col)
+    elif strategy == "lsh":
+        cand = minhash_lsh_candidates(
+            rep_docs, num_hashes=lsh_num_hashes, bands=lsh_bands, text_col=text_col
+        )
+        pairs = _verify_jaccard_pairs(rep_docs, cand, threshold, text_col)
+    else:  # prefix
+        cand = _prefix_filter_candidates(rep_docs, threshold, text_col)
+        pairs = _verify_jaccard_pairs(rep_docs, cand, threshold, text_col)
+
+    # 2. cluster the unique-set graph (reps are per-set MIN doc ids, so
+    # the component minimum is the global min doc id of the cluster)
+    rep_clusters = _clusters_from_pairs(pairs, rep_docs, "doc_id").select(
+        F.col("doc_id").alias("_rep"), "cluster"
+    )
+    # 3. pull every doc back through its set key
+    return (
+        keyed.join(reps.select("_key", F.col("doc_id").alias("_rep")), "_key", "left")
+        .join(rep_clusters, "_rep", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster", F.col("doc_id")).alias("cluster"),
+            (F.col("doc_id") == F.coalesce("cluster", F.col("doc_id"))).alias(
+                "is_representative"
+            ),
+        )
+    )
 
 
 def embedding_duplicate_clusters(

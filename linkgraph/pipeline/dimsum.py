@@ -3,13 +3,22 @@
 MLlib as RowMatrix.columnSimilarities).
 
 Column-column cosine over a (row, col, val) triplet matrix. The naive
-per-row pair emission is Σ_row nnz(row)² — a stopword-shaped row (a token
-appearing in millions of documents) alone breaks it. DIMSUM keeps each
-entry with probability min(1, √γ / ‖c‖) and scales kept values by
-1 / min(√γ, ‖c‖); summed pair products are then an UNBIASED estimator of
-cosine(ci, cj), with relative error O(1/√γ) for column norms ≥ √γ — the
-magnitude-proportional sampling bounds every row's fan-out independently
-of the heaviest column (hence "dimension independent").
+per-row pair emission is Σ_row nnz(row)² — a hub-shaped row alone breaks
+it. DIMSUM keeps each entry with probability min(1, √γ / ‖c‖) and scales
+kept values by 1 / min(√γ, ‖c‖); summed pair products are then an
+UNBIASED estimator of cosine(ci, cj), with relative error O(1/√γ) for
+column norms ≥ √γ.
+
+ORIENTATION MATTERS — the theorem's bound is only non-vacuous when the
+COLUMN norms grow with data volume. The expected per-row pair emission is
+Σ_(i,j)∈row γ/(‖ci‖‖cj‖): for token-token similarity over (row=doc,
+col=token) incidence triplets, ‖c‖ = √df grows with the corpus, so a
+stopword COLUMN (df in the millions) is sampled hardest and total cost
+stays Θ(γ · nnz) — dimension independent. Flipped to (row=token,
+col=doc), column norms are √(tokens per doc) — FIXED as the corpus grows
+— so the sampling keeps an O(1) fraction of every entry and the stopword
+row's Θ(df²) self-join survives; doc-doc similarity at scale needs a
+candidate front (MinHash-LSH, AllPairs prefix) instead, not DIMSUM.
 
 Engine twist: the sampling coin is NOT an RNG stream — it is a
 deterministic md5-derived uniform per (row, col), so the whole estimator
@@ -77,10 +86,27 @@ def dimsum_cosine(
     return est.orderBy(F.desc("cos_est"), "col_a", "col_b").limit(k)
 
 
+def token_incidence_triplets(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(row=doc_id, col=token, val=1.0) — binary incidence triplets in the
+    orientation where DIMSUM's guarantee holds: column norms are √df and
+    GROW with the corpus, so stopword columns are sampled hardest and the
+    per-document fan-out stays bounded. Column cosine(tok_a, tok_b) =
+    |D_a ∩ D_b| / √(df_a · df_b) — the Ochiai co-occurrence similarity
+    used for synonym/collocation mining over a corpus."""
+    return docs.select(
+        F.col("doc_id").alias("row"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("col"),
+        F.lit(1.0).alias("val"),
+    ).where(F.col("col") != "")
+
+
 def doc_token_triplets(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(row=token, col=doc_id, val=1.0) — binary token-incidence triplets:
-    with these, column cosine(doc_a, doc_b) = |Ta ∩ Tb| / √(|Ta|·|Tb|)
-    (the Ochiai/cosine set similarity over distinct token sets)."""
+    """(row=token, col=doc_id, val=1.0) — the TRANSPOSED orientation, where
+    column cosine(doc_a, doc_b) = |Ta ∩ Tb| / √(|Ta|·|Tb|) over distinct
+    token sets. CAUTION: here column norms are √(tokens per doc), fixed as
+    the corpus grows, so DIMSUM sampling does NOT bound a stopword row's
+    df² fan-out (see module docstring) — doc-doc similarity at scale
+    should go through MinHash-LSH / AllPairs (pipeline.dedup) instead."""
     return docs.select(
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("row"),
         F.col("doc_id").alias("col"),

@@ -1848,14 +1848,18 @@ DIMSUM_K = 100
 
 
 def q_dimsum_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DIMSUM sampled all-pairs doc cosine (Zadeh-Carlson 2013 /
-    RowMatrix.columnSimilarities) over binary token-incidence triplets:
-    magnitude-proportional sampling bounds every token row's pair fan-out
-    independently of stopword df. Coins are deterministic md5 uniforms,
-    so the ORACLE replays sampling + estimation end-to-end in SQL."""
-    from linkgraph.pipeline.dimsum import dimsum_cosine, doc_token_triplets
+    """DIMSUM sampled all-pairs TOKEN-TOKEN cosine (Zadeh-Carlson 2013 /
+    RowMatrix.columnSimilarities) over (row=doc, col=token) incidence
+    triplets — the synonym/collocation miner. This is the orientation the
+    estimator's theorem actually covers: column norms √df GROW with the
+    corpus, so stopword columns are sampled hardest (keep prob √γ/√df)
+    and expected per-document fan-out is bounded by γ-scaled mass —
+    total cost Θ(γ·nnz), independent of the heaviest token. Coins are
+    deterministic md5 uniforms, so the ORACLE replays sampling +
+    estimation end-to-end in SQL."""
+    from linkgraph.pipeline.dimsum import dimsum_cosine, token_incidence_triplets
 
-    trips = doc_token_triplets(load_documents(spark, sf_dir))
+    trips = token_incidence_triplets(load_documents(spark, sf_dir))
     return dimsum_cosine(trips, gamma=DIMSUM_GAMMA, k=DIMSUM_K)
 
 
@@ -1863,7 +1867,7 @@ def sql_dimsum_cosine() -> str:
     sg = DIMSUM_GAMMA ** 0.5
     return f"""
 WITH trip AS MATERIALIZED (
-  SELECT DISTINCT tok AS row, doc_id AS col FROM (
+  SELECT DISTINCT doc_id AS row, tok AS col FROM (
     SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u
   WHERE tok <> ''),
 norms AS MATERIALIZED (
@@ -1871,7 +1875,7 @@ norms AS MATERIALIZED (
 kept AS MATERIALIZED (
   SELECT t.row, t.col, 1.0 / LEAST({sg!r}, n.norm) AS s
   FROM trip t JOIN norms n ON t.col = n.col
-  WHERE (CAST(concat('0x', substr(md5(t.row || ':' || CAST(t.col AS VARCHAR)), 1, 15)) AS BIGINT)
+  WHERE (CAST(concat('0x', substr(md5(CAST(t.row AS VARCHAR) || ':' || t.col), 1, 15)) AS BIGINT)
          + 0.5) / 1152921504606846976.0 < {sg!r} / n.norm),
 est AS (
   SELECT a.col AS col_a, b.col AS col_b, ROUND(SUM(a.s * b.s), 5) AS cos_est

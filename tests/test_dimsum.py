@@ -68,3 +68,46 @@ def test_doc_token_triplets_shape(spark):
     )
     got = {(r.row, r.col) for r in doc_token_triplets(docs).collect()}
     assert got == {("a", 0), ("b", 0), ("b", 1), ("c", 1)}
+
+
+def test_token_incidence_triplets_shape(spark):
+    from linkgraph.pipeline.dimsum import token_incidence_triplets
+
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "b c")], "doc_id long, text string"
+    )
+    got = {(r.row, r.col) for r in token_incidence_triplets(docs).collect()}
+    assert got == {(0, "a"), (0, "b"), (1, "b"), (1, "c")}
+
+
+def test_token_orientation_samples_stopwords_hardest(spark):
+    """In the (row=doc, col=token) orientation a stopword COLUMN has norm
+    √df, so its keep probability √γ/√df vanishes as df grows — the kept
+    entry count for the stopword must be ~√γ·√df, far below df, while a
+    rare token (df ≤ γ) keeps everything."""
+    from linkgraph.pipeline.dimsum import token_incidence_triplets
+    from linkgraph.pipeline.text import md5_uniform
+
+    n = 400
+    docs = spark.createDataFrame(
+        [(i, "the " + f"rare{i % 100}") for i in range(n)],
+        "doc_id long, text string",
+    )
+    t = token_incidence_triplets(docs)
+    gamma = 4.0
+    sg = gamma ** 0.5
+    norms = t.groupBy("col").agg(
+        F.sqrt(F.count(F.lit(1)).cast("double")).alias("norm")
+    )
+    kept = (
+        t.join(norms, "col")
+        .where(md5_uniform(F.col("row"), F.col("col")) < F.lit(sg) / F.col("norm"))
+        .groupBy("col")
+        .count()
+        .collect()
+    )
+    by_tok = {r["col"]: r["count"] for r in kept}
+    # stopword 'the' (df=400, norm=20): expected kept = sg*sqrt(df) = 40
+    assert by_tok.get("the", 0) < 100
+    # rare tokens (df=4 ≤ γ): keep prob min(1, 2/2)=1 → all 4 entries kept
+    assert by_tok["rare0"] == 4

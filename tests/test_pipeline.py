@@ -146,6 +146,59 @@ def test_near_duplicate_clusters(spark):
     assert got[3] == (3, True) and got[5] == (5, True)
 
 
+def _chain_corpus():
+    """Planted near-dup CHAIN (d0≈d1≈d2≈d3 via one-token edits, transitively
+    one cluster at J≥0.8 between neighbors) + exact dup of the head + 30
+    unrelated docs with disjoint vocabularies (no cross pairs)."""
+    base = [f"w{i}" for i in range(10)]
+    chain = []
+    for step in range(4):
+        words = list(base)
+        for k in range(step):
+            words[k] = f"v{k}"
+        chain.append(" ".join(words))
+    texts = [chain[0]] + chain  # index 0 and 1 are exact dups
+    for j in range(30):
+        texts.append(" ".join(f"u{j}_{t}" for t in range(8)))
+    return texts
+
+
+@pytest.mark.parametrize("strategy", ["prefix", "direct", "lsh"])
+def test_near_dup_clusters_strategy_parity(spark, strategy):
+    """All three pair strategies must produce IDENTICAL clusters on the
+    planted chain: LSH at 64×32 bands has candidate recall ≈1-6e-15 at
+    J≥0.8, so even the probabilistic front recovers the exact answer."""
+    from linkgraph.pipeline.dedup import near_duplicate_clusters
+
+    got = {r["doc_id"]: (r["cluster"], r["is_representative"])
+           for r in near_duplicate_clusters(
+               _docs(spark, _chain_corpus()), threshold=0.8, strategy=strategy
+           ).collect()}
+    # chain (0..4 incl. the exact dup) is one cluster rooted at 0
+    for d in range(5):
+        assert got[d] == (0, d == 0), f"{strategy}: doc {d} → {got[d]}"
+    # the 30 unrelated docs are their own singleton representatives
+    for d in range(5, 35):
+        assert got[d] == (d, True), f"{strategy}: doc {d} → {got[d]}"
+
+
+def test_near_dup_clusters_auto_matches_legacy_index(spark):
+    """The round-5 tokenset-collapse front is an optimization, not a
+    semantics change: `auto` must equal the legacy uncollapsed index path
+    on a fixture with exact dups, near dups, and null text."""
+    from linkgraph.pipeline.dedup import near_duplicate_clusters
+
+    texts = _chain_corpus() + [None, None]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    auto = {r["doc_id"]: (r["cluster"], r["is_representative"])
+            for r in near_duplicate_clusters(docs, 0.8, strategy="auto").collect()}
+    legacy = {r["doc_id"]: (r["cluster"], r["is_representative"])
+              for r in near_duplicate_clusters(docs, 0.8, strategy="index").collect()}
+    assert auto == legacy
+
+
 def test_embedding_duplicate_clusters(spark):
     """Planted chain v≈w, w≈x (transitive near-dups) must land in ONE
     cluster with the min id as representative."""
