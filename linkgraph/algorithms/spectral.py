@@ -90,6 +90,20 @@ def spectral_embedding(
         raise ValueError(
             "spectral_embedding requires contiguous ids 0..n-1 (densify first)"
         )
+    # the n×k basis lives driver-side (numpy QR each iteration) — the same
+    # ceiling as PageRank's pull strategy, scaled by k columns. Guard
+    # EXPLICITLY so auto-composition can't silently OOM the driver; beyond
+    # this cap the documented fallback is the push/CSR formulation of
+    # orthogonal iteration (distributed QR via tall-skinny Gram matrices).
+    from linkgraph.algorithms.pagerank import PageRank
+
+    cap = PageRank._pull_node_cap(nodes.sparkSession) // max(k, 1)
+    if n > cap:
+        raise ValueError(
+            f"spectral_embedding: n={n} × k={k} exceeds the driver-memory "
+            f"basis cap ({cap} nodes at this k — raise spark.driver.memory, "
+            "reduce k, or use the push/CSR orthogonal-iteration fallback)"
+        )
 
     edges = _sym_normalized_edges(graph)
     sc = nodes.sparkSession.sparkContext

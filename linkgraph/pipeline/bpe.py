@@ -102,7 +102,17 @@ def learn_bpe_merges(
     min_pair_count: int = 2,
 ) -> list[tuple[str, str, int]]:
     """Learn `n_merges` merges; returns [(a, b, count), ...] in merge
-    order. Stops early when no pair reaches `min_pair_count`."""
+    order. Stops early when no pair reaches `min_pair_count`.
+
+    Driver cost model: each merge is exactly ONE job (pair-count aggregate
+    + limit(1) collect of a single row) plus one checkpoint of the
+    word-frequency table — the per-merge data collected is O(1), but the
+    round-trips are serial, so the practical cap is a few hundred merges
+    (Sennrich-style BPE vocabularies in the 10k+ range should learn on a
+    bounded word-frequency SAMPLE, or batch non-overlapping merges per
+    round). The word-frequency table itself is corpus-size-independent
+    state (distinct words × avg word length), so memory is not the cap —
+    merge-count × job-latency is."""
     words = word_freq(docs, text_col).select(
         F.split(F.col("word"), "").alias("syms"), "cnt"
     )

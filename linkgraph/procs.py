@@ -136,6 +136,9 @@ _WRITE_MODE = {
     # row (algo/.../results/*) instead of the stream DataFrame
     "algo.pageRank": "pageRank",
     "algo.katz": "katz",
+    "algo.articleRank": "articleRank",
+    "algo.eigenvector": "eigenvector",
+    "algo.degree": "degree",
     "algo.unionFind": "unionFind",
     "algo.scc": "scc",
     "algo.labelPropagation": "labelPropagation",
@@ -152,6 +155,20 @@ _WRITE_MODE = {
     "algo.ktruss": "ktruss",
     "algo.spanningTree.minimum": "spanningTree",
     "algo.spanningTree.maximum": "spanningTree",
+}
+
+_SIM_WRITE = {
+    # pair-producing similarity procs whose write mode returns the
+    # reference's SimilaritySummaryResult row (nodes, similarityPairs,
+    # min/max/mean, percentiles) — ref algo/.../SimilarityProc.java
+    "algo.similarity.jaccard",
+    "algo.similarity.overlap",
+    "algo.similarity.cosine",
+    "algo.similarity.pearson",
+    "algo.similarity.euclidean",
+    "algo.similarity.cosine.sparse",
+    "algo.similarity.pearson.sparse",
+    "algo.similarity.euclidean.sparse",
 }
 
 
@@ -180,6 +197,31 @@ def call(name: str, *args, **kwargs):
     write = bool(kwargs.pop("write", False))
     write_path = kwargs.pop("writePath", None)
     write_property = kwargs.pop("writeProperty", None)
+    rel_type = kwargs.pop("writeRelationshipType", "SIMILAR")
+    if write and name.startswith("algo.similarity.") and name in _SIM_WRITE:
+        # reference SimilarityProc write mode (SimilaritySummaryResult):
+        # the input is an item table, not a Graph, so the stats row is the
+        # pair-score percentile summary, with the SIMILAR-rel export when
+        # a writePath is given (SimilarityExporter analogue)
+        from pyspark.sql import functions as SF
+
+        from linkgraph.algorithms.vector_similarity import (
+            similarity_summary,
+            write_similar_relationships,
+        )
+
+        pairs = call(name, *args, **kwargs)
+        if write_path is not None:
+            summary = write_similar_relationships(
+                pairs, write_path, rel_type=rel_type
+            )
+        else:
+            summary = similarity_summary(pairs)
+        return summary.select(
+            "*",
+            SF.lit(rel_type).alias("writeRelationshipType"),
+            SF.lit(write_property or "score").alias("writeProperty"),
+        )
     if write:
         if name not in _WRITE_MODE or not args:
             raise ValueError(

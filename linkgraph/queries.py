@@ -1784,6 +1784,32 @@ l0 AS (SELECT vec_id AS id, vec_id AS comp FROM v)"""
     return "\n".join(parts)
 
 
+def q_emb_knn_components_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB tail of emb_knn_components, actually wired: IVF-bucketed
+    kNN front (train on a bounded sample, nprobe=4 multi-probe — per-query
+    scan cost is nprobe/num_cells of the corpus instead of all of it) ->
+    symmetrize -> distributed WCC. Rows-only contract entry (k-means
+    training is not SQL-expressible); component agreement vs the brute
+    front is golden-tested on planted clusters
+    (tests/test_pipeline.py::test_knn_components_ivf_agreement)."""
+    from linkgraph.algorithms.wcc import wcc
+    from linkgraph.graph import Graph
+    from linkgraph.pipeline.ann import cosine_topk_ivf, train_ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < KNNC_N
+    )
+    cents = train_ivf_centroids(emb, num_cells=8, seed=42)
+    knn = cosine_topk_ivf(emb, emb, cents, k=KNNC_K, nprobe=4)
+    edges = (
+        knn.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(knn.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    return wcc(Graph.from_edges(edges, nodes=nodes)).select("id", "component")
+
+
 def q_doc_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spectral node embedding (orthogonal iteration on the normalized
     adjacency, k=2) — the Ng-Jordan-Weiss clustering basis. Rows-only
@@ -3843,6 +3869,7 @@ QUERIES = {
     "cm_token_counts": q_cm_token_counts,
     "doc_spectral": q_doc_spectral,
     "emb_knn_components": q_emb_knn_components,
+    "emb_knn_components_ivf": q_emb_knn_components_ivf,
     "chunk_documents": q_chunk_documents,
     "dedup_keep_best": q_dedup_keep_best,
     "session_cooccurrence": q_session_cooccurrence,

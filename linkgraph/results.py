@@ -132,6 +132,9 @@ _EXTRAS = {
     "closeness": lambda r: _centrality_extras(r, "centrality"),
     "pageRank": lambda r: _centrality_extras(r, "rank"),
     "katz": lambda r: _centrality_extras(r, "rank"),
+    "articleRank": lambda r: _centrality_extras(r, "rank"),
+    "eigenvector": lambda r: _centrality_extras(r, "rank"),
+    "degree": lambda r: _centrality_extras(r, "score"),
     "triangleCount": _triangle_extras,
     "kcore": _kcore_extras,
     "kcoreCoreness": _coreness_extras,

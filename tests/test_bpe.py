@@ -92,3 +92,14 @@ def test_early_stop_below_min_pair_count(spark):
     docs = spark.createDataFrame([(0, "ab cd ef")], "doc_id long, text string")
     # every adjacent pair occurs once — below the min_pair_count=2 floor
     assert learn_bpe_merges(docs, 4) == []
+
+
+def test_learn_bpe_merges_matches_reference_16(spark):
+    """r4 VERDICT task 8: parity with the Sennrich reference at 2x the
+    prior merge count — exercises deeper serial merge rounds (ties,
+    early-stop interplay) without inflating test wall time."""
+    docs = spark.createDataFrame(TEXTS, "doc_id long, text string")
+    wc = Counter(w for _, t in TEXTS for w in t.split(" "))
+    exp_merges, _ = _ref_bpe(dict(wc), 16)
+    got = learn_bpe_merges(docs, 16)
+    assert got == exp_merges

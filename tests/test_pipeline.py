@@ -1266,3 +1266,82 @@ def test_dedup_keep_best_picks_longest(spark):
     assert survivors[0] == (1, 9)
     assert survivors[3] == (3, 9)
     assert len(survivors) == 2
+
+
+def test_knn_components_ivf_agreement(spark):
+    """r4 VERDICT task 5: the IVF-fronted kNN->WCC composition must agree
+    with the brute-force front on >=95% of co-membership decisions over
+    planted well-separated clusters (both should recover the plant)."""
+    from linkgraph.algorithms.wcc import wcc
+    from linkgraph.graph import Graph
+    from linkgraph.pipeline.ann import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(11)
+    d, per, n_clusters = 16, 25, 5
+    rows = []
+    for c in range(n_clusters):
+        center = rng.normal(size=d) * 4.0
+        for i in range(per):
+            v = center + 0.05 * rng.normal(size=d)
+            rows.append((c * per + i, (v / np.linalg.norm(v)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def components(knn):
+        edges = (
+            knn.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionByName(knn.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .distinct()
+        )
+        g = Graph.from_edges(edges, nodes=emb.select(F.col("vec_id").alias("id")))
+        return {r["id"]: r["component"] for r in wcc(g).collect()}
+
+    brute = components(cosine_topk_bruteforce(emb, emb, k=3))
+    cents = train_ivf_centroids(emb, num_cells=8, seed=42)
+    ivf = components(cosine_topk_ivf(emb, emb, cents, k=3, nprobe=4))
+
+    ids = sorted(brute)
+    agree = total = 0
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            total += 1
+            same_b = brute[ids[i]] == brute[ids[j]]
+            same_v = ivf[ids[i]] == ivf[ids[j]]
+            agree += same_b == same_v
+    assert agree / total >= 0.95, f"co-membership agreement {agree/total:.3f}"
+
+
+def test_multimodal_audio_plumbing(spark):
+    from linkgraph.pipeline.multimodal import extract_audio_features, synthesize_media
+
+    media = synthesize_media(spark, n=15)
+    feats = extract_audio_features(media).collect()
+    # kinds cycle image/audio/video, so 5 of 15 rows are audio
+    assert len(feats) == 5
+    for r in feats:
+        assert 0.0 < r["rms"] <= r["peak"] <= 1.0
+        assert r["n_samples"] > 0 and r["sample_rate"] == 16_000
+
+
+def test_multimodal_audio_real_decode_capability_probe(monkeypatch):
+    """r4 VERDICT task 7: the audio path mirrors the PIL probe — a fake
+    soundfile in sys.modules makes the real path run; without it the
+    probe raises NotImplementedError at call time."""
+    import sys
+    import types
+
+    from linkgraph.pipeline import multimodal
+
+    fake_sf = types.ModuleType("soundfile")
+    fake_sf.read = lambda buf, dtype: (np.array([0.5, -0.5, 0.25]), 44_100)
+    monkeypatch.setitem(sys.modules, "soundfile", fake_sf)
+    samples, rate = multimodal._decode_audio_real(b"\x00" * 8)
+    assert rate == 44_100 and len(samples) == 3
+
+    monkeypatch.delitem(sys.modules, "soundfile")
+    monkeypatch.setattr("builtins.__import__", _import_blocking("soundfile"))
+    with pytest.raises(NotImplementedError, match="not installed"):
+        multimodal._decode_audio_real(b"\x00" * 8)

@@ -250,3 +250,78 @@ def test_katz_call_write_mode(spark):
     assert r["sumCentrality"] > 0.0
     # every node has rank >= beta = 1, so the sum exceeds the node count
     assert r["sumCentrality"] >= g.nodes.count()
+
+
+def test_article_rank_call_write_mode(spark):
+    """r4 VERDICT missing #3: articleRank write mode returns the
+    CentralityProcResult-style stats row."""
+    from linkgraph import procs
+
+    g = _graph(spark)
+    r = _row(procs.call("algo.articleRank", g, write=True, max_iterations=5))
+    assert r["sumCentrality"] > 0.0
+    assert 0.0 < r["minCentrality"] <= r["maxCentrality"]
+
+
+def test_eigenvector_call_write_mode(spark):
+    from linkgraph import procs
+
+    g = _graph(spark)
+    r = _row(procs.call("algo.eigenvector", g, write=True, max_iterations=5,
+                        normalization="l2norm"))
+    # l2-normalized vector: sum of squares = 1, so max <= 1 and sum <= sqrt(n)
+    assert 0.0 < r["maxCentrality"] <= 1.0
+    assert r["sumCentrality"] > 0.0
+
+
+def test_degree_call_write_mode(spark, tmp_path):
+    from linkgraph import procs
+
+    g = _graph(spark)
+    out = str(tmp_path / "deg")
+    r = _row(procs.call("algo.degree", g, write=True, direction="INCOMING",
+                        writePath=out, writeProperty="degree"))
+    # 8 directed edges -> total in-degree 8
+    assert r["sumCentrality"] == 8.0
+    assert r["writeProperty"] == "degree"
+    assert spark.read.parquet(out).count() == 7
+
+
+def test_similarity_jaccard_call_write_mode(spark, tmp_path):
+    """r4 VERDICT missing #3: similarity procs' write mode returns the
+    SimilaritySummaryResult row (nodes, similarityPairs, percentiles) and
+    exports SIMILAR rels when writePath is given."""
+    from linkgraph import procs
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "z")],
+        ["item", "cat"],
+    )
+    out = str(tmp_path / "simrels")
+    row = procs.call(
+        "algo.similarity.jaccard", df, "item", "cat",
+        write=True, writePath=out, writeRelationshipType="ALIKE",
+    ).first().asDict()
+    assert row["nodes"] == 2  # only items 1,2 pair up
+    # stream emits BOTH directions (reference topK semantics): 2 rel rows
+    assert row["similarityPairs"] == 2
+    assert row["min"] == row["max"] == 1.0
+    assert row["writeRelationshipType"] == "ALIKE"
+    assert row["writeProperty"] == "score"
+    written = spark.read.parquet(out)
+    assert {r["rel_type"] for r in written.collect()} == {"ALIKE"}
+
+
+def test_similarity_cosine_call_write_mode(spark):
+    from linkgraph import procs
+
+    items = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        ["item", "weights"],
+    )
+    row = procs.call(
+        "algo.similarity.cosine", items, similarity_cutoff=0.9, write=True
+    ).first().asDict()
+    # both directions of the (1,2) pair, mean cosine exactly 1
+    assert row["similarityPairs"] == 2 and abs(row["mean"] - 1.0) < 1e-9
+    assert row["writeRelationshipType"] == "SIMILAR"

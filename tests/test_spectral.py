@@ -1,6 +1,7 @@
 """Spectral embedding vs numpy eigendecomposition."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from linkgraph.graph import Graph
@@ -64,3 +65,18 @@ def test_spectral_separates_components(spark):
     for comp in ([0, 1, 2], [3, 4, 5]):
         for i in comp[1:]:
             assert np.abs(X[i] - X[comp[0]]).max() < 1e-3
+
+
+def test_spectral_driver_cap_guard(spark, monkeypatch):
+    """r4 VERDICT task 9: beyond the memory-aware driver cap the call must
+    refuse loudly (pointing at the cap) instead of silently OOMing."""
+    from linkgraph.algorithms.pagerank import PageRank
+    from linkgraph.algorithms.spectral import spectral_embedding
+    from linkgraph.graph import Graph
+
+    edges = spark.createDataFrame([(0, 1, 1.0), (1, 2, 1.0)], ["src", "dst", "weight"])
+    nodes = spark.range(3).withColumnRenamed("id", "id")
+    g = Graph.from_edges(edges, nodes=nodes.select("id"))
+    monkeypatch.setattr(PageRank, "_pull_node_cap", classmethod(lambda cls, s: 4))
+    with pytest.raises(ValueError, match="basis cap"):
+        spectral_embedding(g, k=2)  # cap//k = 2 < n=3
