@@ -182,3 +182,44 @@ def pca_project(
     tmp = emb.select(id_col, centered.alias("_c"))
     cols = _matvec_cols("_c", comps, ndigits, prefix="pc")
     return tmp.select(id_col, F.array(*cols).alias("pc"))
+
+
+def neighbor_mean_embeddings(
+    edges: DataFrame,
+    emb: DataFrame,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 5,
+) -> DataFrame:
+    """(id, nbr_degree, nbr_mean) — GraphSAGE-style MEAN aggregator: for
+    every source node, the element-wise mean of its out-neighbors'
+    embedding vectors (Hamilton et al. 2017, the aggregate step of one
+    GraphSAGE layer; engine-added — the reference has no feature
+    propagation, its closest surface is the node-weight property loader
+    in core/.../heavyweight/HeavyGraphFactory.java).
+
+    Scale shape: ONE shuffle. The fan-out join edges ⋈ embeddings is keyed
+    on dst (embeddings side shuffles once; at 100 TB both sides are large,
+    so this stays a sort-merge join — no broadcast), and the per-source
+    mean is ``dim`` plain `F.avg(vec[i])` aggregates — partial-aggregated
+    map-side, whole-stage codegen, no explode (which would multiply the
+    shuffle by `dim`) and no UDF. `dim` is a column-width constant (64
+    here); for dim in the thousands switch to the summarizer-style Arrow
+    partial (see `covariance_matrix`) — same one-shuffle shape.
+    """
+    d = int(dim) if dim is not None else _probe_dim(emb, vec_col)
+    nbr = edges.select("src", "dst").join(
+        emb.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("_v")), "dst"
+    )
+    agg = nbr.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("nbr_degree"),
+        *[F.avg(F.col("_v")[i]).alias(f"_m{i}") for i in range(d)],
+    )
+    return agg.select(
+        "id",
+        "nbr_degree",
+        F.array(*[F.round(F.col(f"_m{i}"), ndigits) for i in range(d)]).alias(
+            "nbr_mean"
+        ),
+    )

@@ -774,3 +774,49 @@ def gopher_rules(
         (reason == "").alias("keep"),
         reason.alias("fail_reason"),
     )
+
+
+def c4_line_clean(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    blocklist: tuple[str, ...] = ("lorem ipsum",),
+    dedup_lines: bool = True,
+) -> DataFrame:
+    """(doc_id, keep, n_lines, n_kept, clean_text) — C4-style LINE-level
+    cleaning (Raffel et al. 2020 §2.2, the C4 heuristics): keep only lines
+    with ≥ ``min_words`` words that end in terminal punctuation, drop
+    duplicate lines within a page keeping the FIRST occurrence, and mark
+    the whole page keep=false when any ``blocklist`` phrase occurs
+    anywhere in it. ``clean_text`` is the surviving lines re-joined with
+    newlines (empty when the page is blocked-in-full semantics is left to
+    the caller — blocked pages still carry their cleaned text).
+
+    Engine-added (no reference analogue) — the per-LINE complement of the
+    per-DOCUMENT `quality_gate` funnel.
+
+    Scale shape: zero shuffle — every rule is a row-local higher-order
+    array expression (`filter` / `array_distinct` / `array_join`) in
+    whole-stage codegen; `array_distinct` preserves first-occurrence
+    order, giving the keep-first dedup without a window.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    wordcount = lambda l: F.size(F.filter(F.split(F.trim(l), " "), lambda w: w != ""))  # noqa: E731
+    rule = lambda l: wordcount(l) >= int(min_words)  # noqa: E731
+    if require_terminal_punct:
+        base_rule = rule
+        rule = lambda l: base_rule(l) & F.trim(l).rlike("[.!?]$")  # noqa: E731
+    kept = F.filter(lines, rule)
+    if dedup_lines:
+        kept = F.array_distinct(kept)
+    blocked = F.lit(False)
+    for phrase in blocklist:
+        blocked = blocked | F.lower(F.col(text_col)).contains(phrase.lower())
+    return docs.select(
+        "doc_id",
+        (~blocked).alias("keep"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )

@@ -3800,6 +3800,329 @@ decided AS (
 SELECT doc_id, n_words, fail_reason = '' AS keep, fail_reason FROM decided"""
 
 
+# -------------------------------------------------------- batch PPR (r5)
+PPR_SEEDS = [0, 7, 13, 42]
+PPR_B_ITERS = 10
+PPR_B_K = 10
+
+
+def q_doc_ppr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch personalized PageRank: 4 seeds in ONE superstep loop (wide
+    rank columns, S seeds = one edge pass not S), top-10 nodes per seed.
+    Oracle = the recurrence unrolled into a generated CTE chain."""
+    from linkgraph.algorithms.ppr import ppr_topk
+
+    g = doc_graph(spark, sf_dir)
+    return ppr_topk(
+        g, PPR_SEEDS, k=PPR_B_K, damping=DAMPING, iterations=PPR_B_ITERS
+    )
+
+
+def sql_doc_ppr_topk() -> str:
+    rcols = [f"r{i}" for i in range(len(PPR_SEEDS))]
+    ind = {
+        c: f"CASE WHEN n.id = {s} THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+        for c, s in zip(rcols, PPR_SEEDS)
+    }
+    parts = [_PROLOG]
+    parts.append(
+        ", outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS wsum FROM edges GROUP BY src)"
+    )
+    init = ", ".join(ind[c].replace("n.id", "id") + f" AS {c}" for c in rcols)
+    parts.append(f", p0 AS (SELECT id, {init} FROM nodes)")
+    for k in range(1, PPR_B_ITERS + 1):
+        upd = ", ".join(
+            f"{_ONE_MINUS_D} * ({ind[c]}) + {_D} * COALESCE(c.{c}, CAST(0.0 AS DOUBLE)) AS {c}"
+            for c in rcols
+        )
+        sums = ", ".join(f"SUM(r.{c} / o.wsum) AS {c}" for c in rcols)
+        parts.append(
+            f""", p{k} AS MATERIALIZED (
+  SELECT n.id, {upd}
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id, {sums}
+    FROM edges e JOIN p{k - 1} r ON e.src = r.id JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) c ON n.id = c.id)"""
+        )
+    longs = " UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT) AS seed, id, ROUND({c}, 5) AS score FROM p{PPR_B_ITERS}"
+        for c, s in zip(rcols, PPR_SEEDS)
+    )
+    parts.append(
+        f""", longf AS ({longs})
+SELECT seed, id, score, rk FROM (
+  SELECT seed, id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY seed ORDER BY score DESC, id ASC) AS INT) AS rk
+  FROM longf)
+WHERE rk <= {PPR_B_K}"""
+    )
+    return "\n".join(parts)
+
+
+# ------------------------------------- neighbor feature aggregation (r5)
+def q_nbr_mean_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style mean aggregator over the doc graph: element-wise
+    mean of out-neighbors' embeddings, ONE shuffle, per-dimension F.avg
+    codegen aggregates (no explode, no UDF). Long (id, dim, ...) output
+    for the value-hash."""
+    from linkgraph.pipeline.embed import neighbor_mean_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    wide = neighbor_mean_embeddings(doc_edges(spark, sf_dir), emb, dim=64)
+    return wide.select(
+        "id", "nbr_degree", F.posexplode("nbr_mean").alias("dim", "mval")
+    ).select(
+        "id",
+        F.col("dim").cast("int").alias("dim"),
+        F.col("nbr_degree").cast("long").alias("nbr_degree"),
+        "mval",
+    )
+
+
+def sql_nbr_mean_embedding() -> str:
+    return (
+        _PROLOG
+        + """
+, nb AS MATERIALIZED (
+  SELECT e.src AS id, emb.embedding AS v
+  FROM edges e JOIN embeddings emb ON e.dst = emb.vec_id),
+longf AS (
+  SELECT id, unnest(v) AS val, unnest(range(0, len(v))) AS dim FROM nb),
+deg AS (SELECT id, COUNT(*) AS nbr_degree FROM nb GROUP BY id)
+SELECT l.id, CAST(l.dim AS INT) AS dim,
+       CAST(d.nbr_degree AS BIGINT) AS nbr_degree,
+       ROUND(AVG(l.val), 5) AS mval
+FROM longf l JOIN deg d USING (id)
+GROUP BY l.id, l.dim, d.nbr_degree"""
+    )
+
+
+# ------------------------------------------------ C4 line cleaning (r5)
+_C4_CHUNK = 8
+
+
+def _planted_multiline_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents re-rendered as multi-LINE pages (the corpus is single-line)
+    with deterministically planted cleaning targets: every 3rd line lacks
+    terminal punctuation, doc_id%4 pages get a 2-word 'nav menu' junk
+    line, doc_id%5 pages repeat their first line, doc_id%17 pages carry a
+    blocklist phrase. Same planted-fixture pattern as _planted_pii_text;
+    the identical augmentation is replayed in SQL inside sql_c4_clean."""
+    d = load_documents(spark, sf_dir)
+    n = _C4_CHUNK
+    t = F.split(F.col("text"), " ")
+    nchunks = F.ceil(F.size(t) / n).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), nchunks),
+        lambda j: F.concat(
+            F.array_join(F.slice(t, (j - 1) * n + 1, n), " "),
+            F.when((F.col("doc_id") + j) % 3 != 0, F.lit(".")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    extras = F.concat(
+        F.when(F.col("doc_id") % 4 == 0, F.array(F.lit("nav menu"))).otherwise(
+            F.array().cast("array<string>")
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.array(F.element_at(chunks, 1))).otherwise(
+            F.array().cast("array<string>")
+        ),
+        F.when(
+            F.col("doc_id") % 17 == 0, F.array(F.lit("see lorem ipsum terms."))
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return d.select(
+        "doc_id", F.array_join(F.concat(chunks, extras), "\n").alias("text")
+    )
+
+
+_C4_PLANT_SQL = f"""
+  SELECT doc_id,
+         array_to_string(
+           lines
+           || CASE WHEN doc_id % 4 = 0 THEN ['nav menu'] ELSE [] END
+           || CASE WHEN doc_id % 5 = 0 THEN [lines[1]] ELSE [] END
+           || CASE WHEN doc_id % 17 = 0 THEN ['see lorem ipsum terms.'] ELSE [] END,
+           chr(10)) AS text
+  FROM (
+    SELECT doc_id,
+           list_transform(range(1, CAST(ceil(len(t) / {_C4_CHUNK}.0) AS INT) + 1),
+             j -> array_to_string(t[(j-1)*{_C4_CHUNK}+1 : least(j*{_C4_CHUNK}, len(t))], ' ')
+                  || CASE WHEN (doc_id + j) % 3 <> 0 THEN '.' ELSE '' END) AS lines
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))"""
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning over planted multi-line pages:
+    min-words + terminal-punctuation line filters, first-occurrence line
+    dedup, page-level blocklist — all row-local codegen, zero shuffle."""
+    from linkgraph.pipeline.text import c4_line_clean
+
+    return c4_line_clean(
+        _planted_multiline_text(spark, sf_dir),
+        min_words=3,
+        require_terminal_punct=True,
+        blocklist=("lorem ipsum",),
+        dedup_lines=True,
+    )
+
+
+def sql_c4_clean(min_words: int = 3) -> str:
+    return f"""
+WITH planted AS ({_C4_PLANT_SQL}),
+pages AS MATERIALIZED (
+  SELECT doc_id, string_split(text, chr(10)) AS ls,
+         lower(text) LIKE '%lorem ipsum%' AS blocked
+  FROM planted),
+ul AS (
+  SELECT doc_id, unnest(ls) AS l, unnest(range(1, len(ls) + 1)) AS pos
+  FROM pages),
+keptl AS (
+  SELECT doc_id, l, pos FROM ul
+  WHERE len(list_filter(string_split(trim(l), ' '), w -> w <> '')) >= {min_words}
+    AND regexp_matches(trim(l), '[.!?]$')),
+firsts AS (
+  SELECT doc_id, l, pos,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, l ORDER BY pos) AS occ
+  FROM keptl),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(l, chr(10) ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM firsts WHERE occ = 1 GROUP BY doc_id)
+SELECT p.doc_id, NOT p.blocked AS keep,
+       CAST(len(p.ls) AS BIGINT) AS n_lines,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM pages p LEFT JOIN rebuilt r USING (doc_id)"""
+
+
+# ------------------------------------------ curation composition (r5)
+_CURATION_CONT_MAX = 0.2
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-curation funnel — the composed per-document
+    verdict a training-data pipeline produces, with first-failing-stage
+    semantics: benchmark holdout (doc_id%20=0) → quality gate → exact
+    dedup keep-first (among gate survivors) → benchmark decontamination
+    (3-gram overlap ratio > 0.2) → kept.
+
+    Composition of quality_gate + md5 groupBy dedup +
+    benchmark_contamination; scale shape = each stage's own (zero-shuffle
+    gate, one hash groupBy, broadcast bench grams) — the funnel adds only
+    left joins back to the doc spine."""
+    from linkgraph.pipeline.text import benchmark_contamination, quality_gate
+
+    docs = load_documents(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    cand = docs.filter(F.col("doc_id") % 20 != 0)
+    gate = quality_gate(cand, **_GATE_PARAMS)
+    passed = cand.join(gate.filter(F.col("keep")).select("doc_id"), "doc_id")
+    reps = passed.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("rep_id")
+    )
+    deduped = passed.withColumn("h", F.md5(F.col("text"))).join(reps, "h")
+    survivors = deduped.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id", "text"
+    )
+    cont = benchmark_contamination(survivors, bench, n=3)
+    verdict = (
+        F.when(F.col("doc_id") % 20 == 0, "benchmark_holdout")
+        .when(F.col("fail_reason") != "", F.concat(F.lit("gate:"), "fail_reason"))
+        .when(F.col("rep_id") != F.col("doc_id"), "duplicate")
+        .when(F.col("contamination_ratio") > _CURATION_CONT_MAX, "contaminated")
+        .otherwise("kept")
+    )
+    return (
+        docs.select("doc_id")
+        .join(gate.select("doc_id", "fail_reason"), "doc_id", "left")
+        .join(
+            deduped.select("doc_id", "rep_id"), "doc_id", "left"
+        )
+        .join(cont.select("doc_id", "contamination_ratio"), "doc_id", "left")
+        .select("doc_id", verdict.alias("verdict"))
+        .withColumn("kept", F.col("verdict") == "kept")
+    )
+
+
+def sql_corpus_curation() -> str:
+    from linkgraph.pipeline.text import PII_PATTERNS
+
+    pii = " + ".join(
+        f"len(regexp_extract_all(text, '{p}'))" for p in PII_PATTERNS.values()
+    )
+    mt, mdr = _GATE_PARAMS["min_tokens"], _GATE_PARAMS["max_dup_ratio"]
+    langs = ", ".join(f"'{l}'" for l in _GATE_PARAMS["langs"])
+    return f"""
+WITH cand AS MATERIALIZED (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+feats AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+              ELSE 0.0 END AS dup_ratio,
+         len(t) AS n_tokens, lang, {pii} AS pii
+  FROM (SELECT *, string_split(text, ' ') AS t,
+               CASE WHEN len(string_split(text, ' ')) >= 2
+                    THEN list_transform(range(1, len(string_split(text, ' '))),
+                                        i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))
+                    ELSE [] END AS g
+        FROM cand)),
+gate AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN n_tokens < {mt} THEN 'too_few_tokens'
+              WHEN dup_ratio > {mdr} THEN 'too_repetitive'
+              WHEN lang NOT IN ({langs}) THEN 'bad_lang'
+              WHEN pii > 0 THEN 'has_pii'
+              ELSE '' END AS fail_reason
+  FROM feats),
+passed AS MATERIALIZED (
+  SELECT c.doc_id, c.text FROM cand c JOIN gate g USING (doc_id)
+  WHERE g.fail_reason = ''),
+reps AS (SELECT md5(text) AS h, MIN(doc_id) AS rep_id FROM passed GROUP BY 1),
+dedup AS MATERIALIZED (
+  SELECT p.doc_id, p.text, r.rep_id
+  FROM passed p JOIN reps r ON md5(p.text) = r.h),
+surv AS MATERIALIZED (SELECT doc_id, text FROM dedup WHERE doc_id = rep_id),
+sgrams AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+2], ' '))
+                ELSE [] END)) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM surv)),
+bgrams AS (
+  SELECT DISTINCT unnest(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+2], ' '))
+                ELSE [] END)) AS gram
+  FROM (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 20 = 0)),
+cont AS (
+  SELECT s.doc_id,
+         CASE WHEN COUNT(*) > 0
+              THEN ROUND(CAST(COUNT(b.gram) AS DOUBLE) / COUNT(*), 5)
+              ELSE 0.0 END AS cr
+  FROM sgrams s LEFT JOIN bgrams b ON s.gram = b.gram
+  GROUP BY s.doc_id),
+verdicts AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 20 = 0 THEN 'benchmark_holdout'
+              WHEN g.fail_reason <> '' THEN 'gate:' || g.fail_reason
+              WHEN dd.rep_id <> d.doc_id THEN 'duplicate'
+              WHEN c.cr > {_CURATION_CONT_MAX} THEN 'contaminated'
+              ELSE 'kept' END AS verdict
+  FROM (SELECT doc_id FROM documents) d
+  LEFT JOIN gate g USING (doc_id)
+  LEFT JOIN dedup dd USING (doc_id)
+  LEFT JOIN cont c USING (doc_id))
+SELECT doc_id, verdict, verdict = 'kept' AS kept FROM verdicts"""
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # Positions 1-50: one oracle-backed query per DISTINCT operator
@@ -3818,7 +4141,7 @@ QUERIES = {
     "doc_wcc": q_doc_wcc,
     "doc_lpa": q_doc_lpa,
     "doc_triangles": q_doc_triangles,
-    "doc_balanced_triads": q_doc_balanced_triads,
+    "doc_ppr_topk": q_doc_ppr_topk,
     "doc_reciprocity": q_doc_reciprocity,
     "dimsum_cosine": q_dimsum_cosine,
     "doc_hits": q_doc_hits,
@@ -3837,6 +4160,9 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "token_counts": q_token_counts,
     "language_id": q_langid,
+    "nbr_mean_embedding": q_nbr_mean_embedding,
+    "c4_clean": q_c4_clean,
+    "corpus_curation": q_corpus_curation,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_near_dup": q_emb_near_dup,
     "skipgram_pairs": q_skipgram_pairs,
@@ -3845,20 +4171,25 @@ QUERIES = {
     "pii_scan": q_pii_scan,
     "span_dedup": q_span_dedup,
     "contamination": q_contamination,
-    "stratified_sample": q_stratified_sample,
     "quality_gate": q_quality_gate,
     "tfidf_topk": q_tfidf_topk,
     "boilerplate": q_boilerplate,
-    "winnow": q_winnow,
     "emb_random_projection": q_random_projection,
     "sessionize": q_sessionize,
     "pack_sequences": q_pack_sequences,
     "lm_score": q_lm_score,
     "mixture_weights": q_mixture_weights,
     "token_heavy_hitters": q_token_heavy_hitters,
-    "vocab_stats": q_vocab_stats,
     "doc_khop_sample": q_doc_khop_sample,
     # ---- positions 51+: oracle-backed variants sharing a family above ----
+    # (r5 demotions to make window room for doc_ppr_topk / nbr_mean_embedding /
+    #  c4_clean / corpus_curation: balanced triads ≙ triangle family,
+    #  vocab_stats ≙ token-stats family, winnow ≙ span/fingerprint family,
+    #  stratified_sample ≙ sampling family with weighted_sample below)
+    "doc_balanced_triads": q_doc_balanced_triads,
+    "vocab_stats": q_vocab_stats,
+    "winnow": q_winnow,
+    "stratified_sample": q_stratified_sample,
     "near_dup_jaccard": q_near_dup_jaccard,
     "pmi_topk": q_pmi_topk,
     "moore_lewis": q_moore_lewis,
@@ -3944,6 +4275,10 @@ QUERIES = {
 
 ORACLES = {
     "doc_pagerank": sql_doc_pagerank(),
+    "doc_ppr_topk": sql_doc_ppr_topk(),
+    "nbr_mean_embedding": sql_nbr_mean_embedding(),
+    "c4_clean": sql_c4_clean(),
+    "corpus_curation": sql_corpus_curation(),
     "doc_pagerank_weighted": sql_doc_pagerank_weighted(),
     "doc_pagerank_personalized": sql_doc_pagerank_personalized(),
     "doc_pagerank_pull": sql_doc_pagerank(),
