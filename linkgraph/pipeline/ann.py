@@ -154,13 +154,18 @@ def train_ivf_centroids_distributed(
                 np.add.at(counts, cells, 1)
                 np.add.at(sums, cells, x)
             nz = np.nonzero(counts)[0]
-            yield pd.DataFrame(
-                {
-                    "cell": nz.astype(np.int32),
-                    "n": counts[nz],
-                    "vsum": list(sums[nz]),
-                }
-            )
+            # empty partition (routine at scale: empty parquet splits,
+            # post-filter unions): yield NOTHING — an empty DataFrame
+            # would infer float64 for `vsum` and pyarrow cannot convert
+            # an empty float64 ndarray to array<double>
+            if len(nz):
+                yield pd.DataFrame(
+                    {
+                        "cell": nz.astype(np.int32),
+                        "n": counts[nz],
+                        "vsum": list(sums[nz]),
+                    }
+                )
 
         rows = (
             corpus.select(F.col(vec_col).alias("v"))

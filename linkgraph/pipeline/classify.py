@@ -1,0 +1,235 @@
+"""Hashed-feature linear quality classifier — the fasttext-shaped
+document scorer the CCNet / LLaMA-era pipelines use ("keep pages a
+linear model thinks look like Wikipedia").
+
+Features are the SAME hashed n-gram buckets as DSIR (pipeline/dsir.py):
+unigrams + bigrams hashed into ``n_buckets`` counters, L1-normalized
+per document. The model is logistic regression trained by full-batch
+gradient descent:
+
+    p_d     = sigmoid(b + Σ_bucket x_db · w_bucket)
+    grad_w  = (1/N) Σ_d x_db (p_d − y_d)        (no regularizer — the
+    grad_b  = (1/N) Σ_d (p_d − y_d)              hashed dim is fixed)
+
+Scale shape: the model is ``n_buckets + 1`` doubles — bounded state like
+a sketch. Each iteration is exactly two shuffles over the doc-bucket
+feature table (one groupBy(doc) for margins with the weight table
+BROADCAST onto it, one groupBy(bucket) for the gradient, both map-side
+combining); the driver round-trip per iteration carries n_buckets rows
+(same documented pattern as BPE's per-merge argmax and IVF's Lloyd
+partials). Features are built once and cached by the caller if reused.
+
+Determinism: features, labels, and updates are exact arithmetic over a
+deterministic hash — no RNG anywhere. Float sum-order differences across
+engines stay ~1e-13 after a handful of iterations and are absorbed by
+the end-of-pipeline rounding, so train + score replays in ANSI SQL
+(queries.sql_quality_classifier unrolls the gradient loop into a CTE
+chain — the oracle re-trains the model from scratch in DuckDB).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from pyspark.sql import DataFrame, functions as F
+
+from linkgraph.pipeline.dsir import _bucket, _grams
+
+
+def doc_features(
+    docs: DataFrame,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """→ (key, bucket, x) — L1-normalized hashed n-gram features: x_db =
+    cnt_db / Σ_b cnt_db. One explode + one map-side-combining groupBy;
+    the normalizer is a window-free second aggregate re-joined on key —
+    no, cheaper: total grams per doc is size(unigrams)+size(bigrams) =
+    2·n_tokens − 1, a row-local expression, so NO second pass at all."""
+    toks = F.split(F.col(text_col), " ")
+    total = (F.lit(2) * F.size(toks) - F.lit(1)).cast("double")
+    g = docs.select(
+        F.col(key_col).alias("key"),
+        total.alias("tot"),
+        F.explode(_grams(text_col)).alias("gram"),
+    )
+    return (
+        g.select("key", "tot", _bucket(F.col("gram"), n_buckets).alias("bucket"))
+        .groupBy("key", "tot", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("key", "bucket", (F.col("cnt") / F.col("tot")).alias("x"))
+    )
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    target_source: str,
+    n_buckets: int = 256,
+    iters: int = 5,
+    lr: float = 10.0,
+    text_col: str = "text",
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> tuple[np.ndarray, float]:
+    """→ (w[n_buckets], b) — logistic regression separating docs with
+    ``source == target_source`` (y=1) from the rest (y=0), full-batch
+    GD, ``iters`` iterations from w=0, b=0. lr=10 suits L1-normalized
+    features whose per-doc mass is 1 (margins live in [-|w|∞, |w|∞])."""
+    spark = docs.sparkSession
+    b_n = int(n_buckets)
+    y = (F.col(source_col) == target_source).cast("double")
+    labels = docs.select(F.col(key_col).alias("key"), y.alias("y"))
+    feats = doc_features(
+        docs, n_buckets=b_n, text_col=text_col, key_col=key_col
+    ).join(labels, "key")
+    feats = feats.localCheckpoint(eager=True)  # built once, reused per iter
+    n = float(labels.count())
+    w = np.zeros(b_n, dtype=np.float64)
+    bias = 0.0
+    for _ in range(int(iters)):
+        wdf = spark.createDataFrame(
+            [(i, float(wv)) for i, wv in enumerate(w) if wv != 0.0] or [(0, 0.0)],
+            "bucket int, w double",
+        )
+        margins = (
+            feats.join(F.broadcast(wdf), "bucket", "left")
+            .groupBy("key", "y")
+            .agg(
+                (
+                    F.lit(bias)
+                    + F.sum(F.col("x") * F.coalesce(F.col("w"), F.lit(0.0)))
+                ).alias("m")
+            )
+            .select(
+                "key",
+                "y",
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))) - F.col("y")).alias(
+                    "r"
+                ),
+            )
+        )
+        grad = (
+            feats.select("key", "bucket", "x")
+            .join(margins.select("key", "r"), "key")
+            .groupBy("bucket")
+            .agg((F.sum(F.col("x") * F.col("r")) / n).alias("g"))
+            .collect()
+        )
+        gb = margins.agg((F.sum("r") / n).alias("g")).collect()[0]["g"]
+        for row in grad:
+            w[row["bucket"]] -= lr * row["g"]
+        bias -= lr * float(gb)
+    feats.unpersist()
+    return w, bias
+
+
+def classifier_scores(
+    docs: DataFrame,
+    w: np.ndarray,
+    bias: float,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    ndigits: int = 5,
+) -> DataFrame:
+    """→ (doc_id, score) — sigmoid quality score in (0,1) for EVERY doc
+    under a trained model; the weight table (≤ n_buckets rows) broadcasts
+    onto one pass over the features. Rounded to ``ndigits`` (the engine's
+    float-stability recipe)."""
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(i, float(wv)) for i, wv in enumerate(w) if wv != 0.0] or [(0, 0.0)],
+        "bucket int, w double",
+    )
+    feats = doc_features(docs, n_buckets=n_buckets, text_col=text_col, key_col=key_col)
+    m = (
+        feats.join(F.broadcast(wdf), "bucket", "left")
+        .groupBy("key")
+        .agg(
+            (
+                F.lit(float(bias))
+                + F.sum(F.col("x") * F.coalesce(F.col("w"), F.lit(0.0)))
+            ).alias("m")
+        )
+    )
+    return m.select(
+        F.col("key").alias(key_col),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))), ndigits).alias(
+            "score"
+        ),
+    )
+
+
+def quality_classifier_scores(
+    docs: DataFrame,
+    target_source: str,
+    n_buckets: int = 256,
+    iters: int = 5,
+    lr: float = 10.0,
+    text_col: str = "text",
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Train-then-score in one call (the contract-query entry point)."""
+    w, bias = train_quality_classifier(
+        docs,
+        target_source,
+        n_buckets=n_buckets,
+        iters=iters,
+        lr=lr,
+        text_col=text_col,
+        source_col=source_col,
+        key_col=key_col,
+    )
+    return classifier_scores(
+        docs, w, bias, n_buckets=n_buckets, text_col=text_col, key_col=key_col
+    )
+
+
+def py_reference_classifier(
+    rows: list[tuple[int, str, str]],
+    target_source: str,
+    n_buckets: int,
+    iters: int,
+    lr: float,
+) -> dict[int, float]:
+    """Pure-Python/numpy reference (tests + documentation of the exact
+    arithmetic): rows = [(doc_id, source, text)] → {doc_id: score}."""
+    import hashlib
+    from collections import Counter
+
+    def grams(text: str) -> list[str]:
+        t = text.split(" ")
+        return t + [f"{t[i]} {t[i + 1]}" for i in range(len(t) - 1)]
+
+    def bucket(gm: str) -> int:
+        return int(hashlib.md5(gm.encode()).hexdigest()[:15], 16) % n_buckets
+
+    feats, ys = {}, {}
+    for did, src, text in rows:
+        c = Counter(bucket(g) for g in grams(text))
+        tot = float(sum(c.values()))
+        feats[did] = {bk: cnt / tot for bk, cnt in c.items()}
+        ys[did] = 1.0 if src == target_source else 0.0
+    n = float(len(rows))
+    w = np.zeros(n_buckets)
+    bias = 0.0
+    for _ in range(iters):
+        gw = np.zeros(n_buckets)
+        gb = 0.0
+        for did, fx in feats.items():
+            m = bias + sum(x * w[bk] for bk, x in fx.items())
+            r = 1.0 / (1.0 + math.exp(-m)) - ys[did]
+            for bk, x in fx.items():
+                gw[bk] += x * r
+            gb += r
+        w -= lr * gw / n
+        bias -= lr * gb / n
+    out = {}
+    for did, fx in feats.items():
+        m = bias + sum(x * w[bk] for bk, x in fx.items())
+        out[did] = 1.0 / (1.0 + math.exp(-m))
+    return out

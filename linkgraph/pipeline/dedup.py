@@ -747,3 +747,98 @@ def dedup_keep_best(
         F.col("b.doc_id").alias("doc_id"),
         F.col("b.n_tokens").alias("n_tokens"),
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    num_cells: int = 8,
+    threshold: float = 0.92,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, cluster, centroid_sim, keep) — SemDeDup (Abbas, Tirumala et
+    al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): embedding-space near-duplicate removal that
+    never compares across k-means cells.
+
+    1. k-means the embeddings into ``num_cells`` cells (the engine's
+       fully distributed Lloyd — per-iteration reduction is cells × dim
+       floats regardless of corpus size).
+    2. Within each cell only, pair rows with cosine ≥ ``threshold``
+       (cell-scoped self-join: cost Σ|cell|², the paper's trick — grow
+       num_cells with the corpus and cells stay bounded, so the pair
+       join never goes global the way brute-force embedding dedup does).
+    3. Connected components over the pair graph (shared hash-min +
+       contraction tail with the text dedup operators).
+    4. Per cluster keep the member with the LOWEST cosine to its cell
+       centroid (the paper's rule: the most atypical copy carries the
+       most information), ties to the smallest id — one partial-
+       aggregatable ``min_by``, never a per-cluster window.
+
+    Deterministic end-to-end (seeded k-means++, md5-free exact cosines,
+    total tie-breaks); cross-cell near-dups are missed by design — that
+    recall/cost trade IS SemDeDup (vs. embedding_near_duplicates'
+    hyperplane-LSH front, which probes across the whole space).
+    """
+    from linkgraph.pipeline.ann import (
+        _dot,
+        _norm,
+        ivf_assign,
+        train_ivf_centroids_distributed,
+    )
+
+    cent = train_ivf_centroids_distributed(
+        embeddings, num_cells=num_cells, vec_col=vec_col, iters=iters, seed=seed
+    )
+    assigned = ivf_assign(embeddings, cent, id_col=id_col, vec_col=vec_col)
+    cent_df = embeddings.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(cent)],
+        "cell int, cvec array<double>",
+    )
+    csim = assigned.join(F.broadcast(cent_df), "cell").select(
+        "id",
+        "v",
+        "cell",
+        F.round(
+            _dot("v", "cvec") / (_norm("v") * _norm("cvec")), 5
+        ).alias("centroid_sim"),
+    )
+    a = csim.select(
+        F.col("cell").alias("ca"), F.col("id").alias("a"), F.col("v").alias("va")
+    )
+    b = csim.select(
+        F.col("cell").alias("cb"), F.col("id").alias("b"), F.col("v").alias("vb")
+    )
+    pairs = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("a") < F.col("b")))
+        .select(
+            "a",
+            "b",
+            F.round(
+                _dot("va", "vb") / (_norm("va") * _norm("vb")), 5
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= float(threshold))
+    )
+    comp = _clusters_from_pairs(
+        pairs.select("a", "b"), embeddings.select(F.col(id_col)), id_col
+    ).select(F.col(id_col).alias("id"), "cluster")
+    keep_ids = (
+        comp.join(csim.select("id", "centroid_sim"), "id")
+        .groupBy("cluster")
+        .agg(
+            F.min_by("id", F.struct("centroid_sim", "id")).alias("keep_id")
+        )
+    )
+    return (
+        comp.join(csim.select("id", "centroid_sim"), "id")
+        .join(keep_ids, "cluster")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            "centroid_sim",
+            (F.col("id") == F.col("keep_id")).alias("keep"),
+        )
+    )
