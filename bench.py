@@ -138,6 +138,10 @@ def main() -> None:
     timed("dimsum_cosine", Q.q_dimsum_cosine)
     timed("cm_token_counts", Q.q_cm_token_counts)
     timed("emb_knn_components", Q.q_emb_knn_components)
+    timed("doc_ppr_topk", Q.q_doc_ppr_topk)
+    timed("dsir_select", Q.q_dsir_select)
+    timed("quality_classifier", Q.q_quality_classifier)
+    timed("semantic_dedup", Q.q_semantic_dedup)
 
     canary_mid = host_canary()
 

@@ -46,9 +46,9 @@ def doc_features(
 ) -> DataFrame:
     """→ (key, bucket, x) — L1-normalized hashed n-gram features: x_db =
     cnt_db / Σ_b cnt_db. One explode + one map-side-combining groupBy;
-    the normalizer is a window-free second aggregate re-joined on key —
-    no, cheaper: total grams per doc is size(unigrams)+size(bigrams) =
-    2·n_tokens − 1, a row-local expression, so NO second pass at all."""
+    the normalizer needs no second pass — total grams per doc is
+    size(unigrams) + size(bigrams) = 2·n_tokens − 1, a row-local
+    expression carried through the groupBy key."""
     toks = F.split(F.col(text_col), " ")
     total = (F.lit(2) * F.size(toks) - F.lit(1)).cast("double")
     g = docs.select(
@@ -85,7 +85,10 @@ def train_quality_classifier(
     feats = doc_features(
         docs, n_buckets=b_n, text_col=text_col, key_col=key_col
     ).join(labels, "key")
-    feats = feats.localCheckpoint(eager=True)  # built once, reused per iter
+    # persist (not localCheckpoint): built once, reused per iteration, and
+    # DataFrame.unpersist() actually releases it — localCheckpoint pins an
+    # RDD outside the cache manager and leaks one entry per training call
+    feats = feats.persist()
     n = float(labels.count())
     w = np.zeros(b_n, dtype=np.float64)
     bias = 0.0
@@ -233,3 +236,47 @@ def py_reference_classifier(
         m = bias + sum(x * w[bk] for bk, x in fx.items())
         out[did] = 1.0 / (1.0 + math.exp(-m))
     return out
+
+
+def classifier_scores_rowlocal(
+    docs: DataFrame,
+    w: np.ndarray,
+    bias: float,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    ndigits: int = 5,
+) -> DataFrame:
+    """→ (doc_id, score) — ZERO-SHUFFLE scoring: the weight vector is
+    inlined as a literal map and the margin is a row-local higher-order
+    aggregate over the doc's grams (Σ_b x_b·w_b = (Σ_grams
+    w[bucket(gram)]) / total_grams — per-OCCURRENCE weight sum, same
+    arithmetic as the join form up to float sum order). No explode, no
+    groupBy, no join — whole-stage codegen end to end, which also makes
+    it a stateless STREAMING transformation (streaming.stream_quality_
+    scores). Literal-map width is n_buckets entries: fine to ~10^4;
+    past that use classifier_scores' broadcast-join form."""
+    pairs: list = []
+    for i, wv in enumerate(w):
+        if wv != 0.0:
+            pairs += [F.lit(int(i)), F.lit(float(wv))]
+    wmap = (
+        F.create_map(*pairs) if pairs else F.create_map(F.lit(0), F.lit(0.0))
+    )
+    toks = F.split(F.col(text_col), " ")
+    tot = (F.lit(2) * F.size(toks) - F.lit(1)).cast("double")
+    msum = F.aggregate(
+        _grams(text_col),
+        F.lit(0.0),
+        # try_element_at: ANSI mode throws on missing map keys; buckets
+        # with zero weight are absent from the literal map by design
+        lambda acc, g: acc
+        + F.coalesce(F.try_element_at(wmap, _bucket(g, n_buckets)), F.lit(0.0)),
+    )
+    margin = F.lit(float(bias)) + msum / tot
+    return docs.select(
+        F.col(key_col).alias(key_col),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), ndigits).alias(
+            "score"
+        ),
+    )

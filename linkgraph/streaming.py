@@ -487,3 +487,35 @@ def run_available_now(
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
+
+
+def stream_quality_scores(
+    stream_docs: DataFrame,
+    w,
+    bias: float,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, score) as a STREAMING transformation — score a document
+    stream against a pre-trained hashed logistic quality model
+    (``pipeline.classify.train_quality_classifier``).
+
+    Unlike the foreachBatch scorers (stream_lm_score), this is a plain
+    streaming SELECT: the row-local literal-map scorer
+    (classify.classifier_scores_rowlocal) contains no join, aggregate,
+    or state, so the returned streaming DataFrame composes into ANY
+    downstream mode/sink with zero state and zero shuffle per batch.
+    Model refresh = restart the query with new literals (the model is
+    n_buckets + 1 doubles — a restart, not a retrain, is the cheap
+    path)."""
+    from linkgraph.pipeline.classify import classifier_scores_rowlocal
+
+    return classifier_scores_rowlocal(
+        stream_docs,
+        w,
+        bias,
+        n_buckets=n_buckets,
+        text_col=text_col,
+        key_col=key_col,
+    )

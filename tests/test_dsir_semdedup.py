@@ -266,3 +266,64 @@ def test_quality_classifier_no_leaked_cache(spark):
     before = jsc.getPersistentRDDs().size()
     train_quality_classifier(_docs(spark), "tgt", n_buckets=B, iters=2)
     assert jsc.getPersistentRDDs().size() <= before
+
+
+def test_classifier_rowlocal_matches_join_form(spark):
+    from linkgraph.pipeline.classify import (
+        classifier_scores,
+        classifier_scores_rowlocal,
+        train_quality_classifier,
+    )
+
+    docs = _docs(spark)
+    w, bias = train_quality_classifier(docs, "tgt", n_buckets=B, iters=3)
+    a = {
+        r["doc_id"]: r["score"]
+        for r in classifier_scores(docs, w, bias, n_buckets=B).collect()
+    }
+    b = {
+        r["doc_id"]: r["score"]
+        for r in classifier_scores_rowlocal(docs, w, bias, n_buckets=B).collect()
+    }
+    assert set(a) == set(b)
+    for did in a:
+        assert abs(a[did] - b[did]) < 2e-5, (did, a[did], b[did])
+
+
+def test_classifier_rowlocal_zero_shuffle_plan(spark):
+    from linkgraph.pipeline.classify import classifier_scores_rowlocal
+
+    w = np.linspace(-1.0, 1.0, B)
+    p = (
+        classifier_scores_rowlocal(_docs(spark), w, 0.1, n_buckets=B)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in p and "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_stream_quality_scores_matches_batch(spark, tmp_path):
+    from linkgraph.pipeline.classify import (
+        classifier_scores_rowlocal,
+        train_quality_classifier,
+    )
+    from linkgraph.streaming import run_available_now, stream_quality_scores
+
+    docs = _docs(spark)
+    w, bias = train_quality_classifier(docs, "tgt", n_buckets=B, iters=3)
+    src = str(tmp_path / "qc_stream")
+    docs.select("doc_id", "text").write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    got = {
+        r["doc_id"]: r["score"]
+        for r in run_available_now(
+            stream_quality_scores(stream, w, bias, n_buckets=B), "qc_stream_q"
+        )
+    }
+    want = {
+        r["doc_id"]: r["score"]
+        for r in classifier_scores_rowlocal(docs, w, bias, n_buckets=B).collect()
+    }
+    assert got == want
