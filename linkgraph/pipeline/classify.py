@@ -253,8 +253,8 @@ def classifier_scores_rowlocal(
     w[bucket(gram)]) / total_grams — per-OCCURRENCE weight sum, same
     arithmetic as the join form up to float sum order). No explode, no
     groupBy, no join — whole-stage codegen end to end, which also makes
-    it a stateless STREAMING transformation (streaming.stream_quality_
-    scores). Literal-map width is n_buckets entries: fine to ~10^4;
+    it a stateless STREAMING transformation (streaming.stream_
+    classifier_scores). Literal-map width is n_buckets entries: fine to ~10^4;
     past that use classifier_scores' broadcast-join form."""
     pairs: list = []
     for i, wv in enumerate(w):

@@ -489,7 +489,7 @@ def run_available_now(
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
 
 
-def stream_quality_scores(
+def stream_classifier_scores(
     stream_docs: DataFrame,
     w,
     bias: float,

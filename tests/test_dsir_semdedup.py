@@ -304,12 +304,12 @@ def test_classifier_rowlocal_zero_shuffle_plan(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
-def test_stream_quality_scores_matches_batch(spark, tmp_path):
+def test_stream_classifier_scores_matches_batch(spark, tmp_path):
     from linkgraph.pipeline.classify import (
         classifier_scores_rowlocal,
         train_quality_classifier,
     )
-    from linkgraph.streaming import run_available_now, stream_quality_scores
+    from linkgraph.streaming import run_available_now, stream_classifier_scores
 
     docs = _docs(spark)
     w, bias = train_quality_classifier(docs, "tgt", n_buckets=B, iters=3)
@@ -319,7 +319,7 @@ def test_stream_quality_scores_matches_batch(spark, tmp_path):
     got = {
         r["doc_id"]: r["score"]
         for r in run_available_now(
-            stream_quality_scores(stream, w, bias, n_buckets=B), "qc_stream_q"
+            stream_classifier_scores(stream, w, bias, n_buckets=B), "qc_stream_q"
         )
     }
     want = {
