@@ -507,6 +507,82 @@ def pull_superstep(
     return out
 
 
+def pull_engine(sc, block_path: str, num_blocks: int, n: int):
+    """→ step(p) -> contrib, choosing the execution side ONCE per run.
+
+    Hybrid crossover (same DRIVER_EDGE_THRESHOLD contract as union-find /
+    coarsened Louvain / InfoMap): when the store's total edge count — read
+    from the manifest, no job — fits the driver budget, each superstep is
+    a driver-local gather-multiply-bincount over the SAME mmap'd block
+    arrays (zero Spark jobs per superstep; this host's per-job floor is
+    ~150-350 ms, which dominated every superstep of a small graph).
+    Beyond the threshold, the distributed one-job ``pull_superstep`` path
+    is unchanged — the 100 TB shape is identical, only the barrier moves.
+    """
+    manifest = read_manifest(block_path)
+    n_edges = sum(int(v) for v in manifest["parts"].values())
+    if n_edges > DRIVER_EDGE_THRESHOLD:
+        return lambda p: pull_superstep(sc, block_path, num_blocks, n, p)
+    parts = []
+    for k in range(num_blocks):
+        blk = _load_part(block_path, k, _PULL_ARRAYS)
+        if blk is not None and len(blk["w_norm"]):
+            parts.append(
+                (
+                    k,
+                    np.asarray(blk["src"]),
+                    np.asarray(blk["slice_pos"]),
+                    np.asarray(blk["w_norm"]),
+                    max(0, (n - k + num_blocks - 1) // num_blocks),
+                )
+            )
+
+    def step(p: np.ndarray) -> np.ndarray:
+        out = np.zeros(n)
+        for k, src, slice_pos, w, slice_len in parts:
+            out[k::num_blocks] = np.bincount(
+                slice_pos, weights=p[src] * w, minlength=slice_len
+            )
+        return out
+
+    return step
+
+
+def pull_engine_multi(sc, block_path: str, num_blocks: int, n: int):
+    """Multi-vector twin of :func:`pull_engine` (n×k matrices)."""
+    manifest = read_manifest(block_path)
+    n_edges = sum(int(v) for v in manifest["parts"].values())
+    if n_edges > DRIVER_EDGE_THRESHOLD:
+        return lambda P: pull_superstep_multi(sc, block_path, num_blocks, n, P)
+    parts = []
+    for k in range(num_blocks):
+        blk = _load_part(block_path, k, _PULL_ARRAYS)
+        if blk is not None and len(blk["w_norm"]):
+            parts.append(
+                (
+                    k,
+                    np.asarray(blk["src"]),
+                    np.asarray(blk["slice_pos"]),
+                    np.asarray(blk["w_norm"]),
+                    max(0, (n - k + num_blocks - 1) // num_blocks),
+                )
+            )
+
+    def step(P: np.ndarray) -> np.ndarray:
+        kk = P.shape[1]
+        out = np.zeros((n, kk))
+        for k, src, slice_pos, w, slice_len in parts:
+            o = np.empty((slice_len, kk))
+            for j in range(kk):
+                o[:, j] = np.bincount(
+                    slice_pos, weights=P[src, j] * w, minlength=slice_len
+                )
+            out[k::num_blocks, :] = o
+        return out
+
+    return step
+
+
 def pull_superstep_multi(
     sc, block_path: str, num_blocks: int, n: int, P: np.ndarray
 ) -> np.ndarray:

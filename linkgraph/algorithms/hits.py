@@ -53,6 +53,9 @@ def hits(
     Isolated nodes (no in- or out-edges) keep score 0, matching the
     linear-algebra definition on the adjacency matrix over the node set.
     """
+    out = _hits_pull(graph, max_iterations, tolerance)
+    if out is not None:
+        return out
     edges = graph.edges.select("src", "dst").persist()
     nodes = graph.nodes.select("id")
     n = nodes.count()
@@ -108,6 +111,85 @@ def hits(
     out.iterations = iterations  # type: ignore[attr-defined]
     out.did_converge = converged  # type: ignore[attr-defined]
     return out
+
+
+def _hits_pull(graph: Graph, max_iterations: int, tolerance: float | None):
+    """CSC-block pull execution (r6): when node ids are contiguous 0..n-1,
+    both half-steps are zero-shuffle driver-vector gathers — auth over the
+    forward-edge pull store, hub over the reversed-edge store (both raw
+    weights, shared with Katz/eigenvector through the plan-keyed cache) —
+    instead of 2 joins + 2 groupBys + a localCheckpoint per iteration.
+    Same unnormalized-loop + periodic/final L1 rescale semantics as the
+    DataFrame path. Returns None when ids are not contiguous."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from linkgraph.algorithms import blocks
+    from linkgraph.algorithms.pagerank import _contiguous_n
+
+    n = _contiguous_n(graph.nodes.select("id"))
+    if not n:
+        return None
+    edges = graph.edges.select("src", "dst")
+    fwd = edges.withColumn("weight", F.lit(1.0))
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")).withColumn(
+        "weight", F.lit(1.0)
+    )
+    sc = edges.sparkSession.sparkContext
+    stores = []
+    try:
+        built = []
+        for e, prefix in ((fwd, "linkgraph_hitsf_"), (rev, "linkgraph_hitsr_")):
+            key = blocks.semantic_store_key(e, "pullpi", n, 0.0, False)
+            path, hit = blocks.cached_store_dir(key, prefix)
+            blocks.pin_store(path)
+            stores.append((path, key))
+            if hit:
+                b = blocks.validate_store(path, "pull")
+            else:
+                b = blocks.auto_num_blocks(e, sc.defaultParallelism)
+                blocks.write_pull_blocks(e, b, path, normalize=False)
+            built.append((path, b))
+        (fpath, fb), (rpath, rb) = built
+        fwd_step = blocks.pull_engine(sc, fpath, fb, n)
+        rev_step = blocks.pull_engine(sc, rpath, rb, n)
+
+        def l1(v):
+            s = v.sum()
+            return v * (float(n) / s) if s > 0 else np.zeros_like(v)
+
+        h = np.ones(n)
+        a = np.zeros(n)
+        prev_norm = None
+        iterations, converged = 0, False
+        for step in range(max_iterations):
+            a = fwd_step(h)
+            h_new = rev_step(a)
+            if (step + 1) % RESCALE_EVERY == 0 or tolerance is not None:
+                h_new, a = l1(h_new), l1(a)
+            iterations = step + 1
+            if tolerance is not None:
+                delta = float(np.abs(h_new - h).sum())
+                if prev_norm and delta < tolerance * n:
+                    converged = True
+                prev_norm = True
+            h = h_new
+            if converged:
+                break
+        h, a = l1(h), l1(a)
+        out = edges.sparkSession.createDataFrame(
+            pd.DataFrame({"id": np.arange(n), "hub": h, "authority": a})
+        )
+        out.iterations = iterations  # type: ignore[attr-defined]
+        out.did_converge = converged  # type: ignore[attr-defined]
+        return out
+    finally:
+        for path, key in stores:
+            blocks.unpin_store(path)
+            if key is None:
+                shutil.rmtree(path, ignore_errors=True)
 
 
 def _l1_pair(nodes: DataFrame, hub: DataFrame, auth: DataFrame, n: int):

@@ -189,9 +189,13 @@ class PageRank:
         # in cached_store_dir can never rmtree it mid-run (a crash mid-loop
         # leaks the pin, which only disables eviction for this one path)
         blocks.pin_store(block_path)
+        # r6: execution side resolved once — driver-local numpy gather when
+        # the store's edge count fits DRIVER_EDGE_THRESHOLD (zero jobs per
+        # superstep), the distributed pull job beyond it
+        pull_step = blocks.pull_engine(sc, block_path, b, n)
         while step < self.max_iterations:
             it0 = time.time()
-            contrib = blocks.pull_superstep(sc, block_path, b, n, p)
+            contrib = pull_step(p)
             p_new = (1.0 - d) * t + d * contrib
             step += 1
             delta = float(np.abs(p_new - p).max())
@@ -426,8 +430,9 @@ def _pull_power_iteration(
                 edges, b, path, denom_add=denom_add, normalize=normalize
             )
         p = np.ones(n)
+        pull_step = blocks.pull_engine(sc, path, b, n)  # r6: see _run_pull
         for _ in range(max_iterations):
-            contrib = blocks.pull_superstep(sc, path, b, n, p)
+            contrib = pull_step(p)
             p_new = step(p, contrib)
             delta = float(np.abs(p_new - p).max())
             p = p_new

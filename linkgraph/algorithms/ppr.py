@@ -51,6 +51,9 @@ def ppr_batch(
     d = float(damping)
     nodes = graph.nodes.select("id")
     edges = graph.edges.select("src", "dst")
+    out = _ppr_batch_pull(graph, seeds, d, int(iterations))
+    if out is not None:
+        return out
     outdeg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("double").alias("wsum")
     )
@@ -89,6 +92,56 @@ def ppr_batch(
         prev.unpersist()
         prev = ranks
     return ranks
+
+
+def _ppr_batch_pull(graph: Graph, seeds, d: float, iterations: int):
+    """CSC-block pull execution of the seed batch (r6): when node ids are
+    contiguous 0..n-1, all S PPR vectors advance as ONE n×S numpy matrix —
+    per superstep a single zero-shuffle job (blocks.pull_superstep_multi)
+    instead of the join loop's edges⋈shares shuffle + groupBy + left-join
+    + localCheckpoint. Identical arithmetic (w_norm = 1/outdeg baked at
+    store build, no dangling redistribution); the store is shared with
+    PageRank's pull store through the same plan-keyed cache. Returns None
+    when ids are not contiguous (callers fall back to the join loop)."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from linkgraph.algorithms import blocks
+    from linkgraph.algorithms.pagerank import _contiguous_n
+
+    n = _contiguous_n(graph.nodes.select("id"))
+    if n is None:
+        return None
+    edges_w = graph.edges.select("src", "dst").withColumn("weight", F.lit(1.0))
+    sc = edges_w.sparkSession.sparkContext
+    key = blocks.semantic_store_key(edges_w, "pullpi", n, 0.0, True)
+    path, hit = blocks.cached_store_dir(key, "linkgraph_pullppr_")
+    blocks.pin_store(path)
+    try:
+        if hit:
+            b = blocks.validate_store(path, "pull")
+        else:
+            b = blocks.auto_num_blocks(edges_w, sc.defaultParallelism)
+            blocks.write_pull_blocks(edges_w, b, path)
+        S = len(seeds)
+        ind = np.zeros((n, S))
+        for j, s in enumerate(seeds):
+            ind[int(s), j] = 1.0
+        P = ind.copy()
+        pull_step = blocks.pull_engine_multi(sc, path, b, n)
+        for _ in range(iterations):
+            C = pull_step(P)
+            P = (1.0 - d) * ind + d * C
+        pdf = pd.DataFrame({"id": np.arange(n)})
+        for j in range(S):
+            pdf[f"r{j}"] = P[:, j]
+        return edges_w.sparkSession.createDataFrame(pdf)
+    finally:
+        blocks.unpin_store(path)
+        if key is None:
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def ppr_topk(

@@ -12,12 +12,14 @@ gradient descent:
     grad_b  = (1/N) Σ_d (p_d − y_d)              hashed dim is fixed)
 
 Scale shape: the model is ``n_buckets + 1`` doubles — bounded state like
-a sketch. Each iteration is exactly two shuffles over the doc-bucket
-feature table (one groupBy(doc) for margins with the weight table
-BROADCAST onto it, one groupBy(bucket) for the gradient, both map-side
-combining); the driver round-trip per iteration carries n_buckets rows
-(same documented pattern as BPE's per-merge argmax and IVF's Lloyd
-partials). Features are built once and cached by the caller if reused.
+a sketch. Features are packed once into per-doc sorted arrays
+(key, [(bucket, x)...]) and materialized; each GD iteration is then ONE
+map-side-combining shuffle: the residual is a row-local expression (the
+weight vector inlined as a literal array — no margins join), and a
+sentinel feature (bucket=-1, x=1) per doc folds the bias gradient into
+the same groupBy(bucket). The driver round-trip per iteration carries
+n_buckets + 1 rows (same documented pattern as BPE's per-merge argmax
+and IVF's Lloyd partials).
 
 Determinism: features, labels, and updates are exact arithmetic over a
 deterministic hash — no RNG anywhere. Float sum-order differences across
@@ -35,7 +37,7 @@ import numpy as np
 
 from pyspark.sql import DataFrame, functions as F
 
-from linkgraph.pipeline.dsir import _bucket, _grams
+from linkgraph.pipeline.dsir import _bucket, _grams, _grams_arr
 
 
 def doc_features(
@@ -49,12 +51,14 @@ def doc_features(
     the normalizer needs no second pass — total grams per doc is
     size(unigrams) + size(bigrams) = 2·n_tokens − 1, a row-local
     expression carried through the groupBy key."""
-    toks = F.split(F.col(text_col), " ")
+    toks = F.col("_toks")
     total = (F.lit(2) * F.size(toks) - F.lit(1)).cast("double")
     g = docs.select(
-        F.col(key_col).alias("key"),
+        F.col(key_col).alias("key"), F.split(F.col(text_col), " ").alias("_toks")
+    ).select(
+        "key",
         total.alias("tot"),
-        F.explode(_grams(text_col)).alias("gram"),
+        F.explode(_grams_arr(toks)).alias("gram"),
     )
     return (
         g.select("key", "tot", _bucket(F.col("gram"), n_buckets).alias("bucket"))
@@ -62,6 +66,100 @@ def doc_features(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select("key", "bucket", (F.col("cnt") / F.col("tot")).alias("x"))
     )
+
+
+def _doc_feature_arrays(
+    docs: DataFrame,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """→ (key, bx: array<struct<bucket,x>>) — each doc's L1-normalized
+    hashed features packed into ONE bucket-sorted array row. Same x
+    values as :func:`doc_features`; the packed form makes a GD
+    iteration's margin a row-local expression (literal weight array — no
+    join, no groupBy) and the gradient one map-side-combining shuffle."""
+    return (
+        doc_features(docs, n_buckets=n_buckets, text_col=text_col, key_col=key_col)
+        .groupBy("key")
+        .agg(F.array_sort(F.collect_list(F.struct("bucket", "x"))).alias("bx"))
+    )
+
+
+def _w_literal_array(w: np.ndarray):
+    """Full weight vector as a literal ARRAY (element_at is O(1) by
+    position; a literal MAP's GetMapValue is a linear key scan — measured
+    ~n_buckets× slower per gram). Zero entries contribute exactly 0.0 to
+    the margin, so including them is bit-identical to skipping them."""
+    return F.array(*[F.lit(float(v)) for v in w])
+
+
+def _margin_expr(warr, bias: float):
+    """bias + Σ x·w[bucket] over a packed `bx` array — row-local codegen."""
+    return F.lit(float(bias)) + F.aggregate(
+        F.col("bx"),
+        F.lit(0.0),
+        lambda acc, e: acc + e["x"] * F.element_at(warr, e["bucket"] + F.lit(1)),
+    )
+
+
+def _train_on_arrays(
+    fda_y: DataFrame, n: float, n_buckets: int, iters: int, lr: float
+) -> tuple[np.ndarray, float]:
+    """Full-batch GD over a materialized (key, bx, y) table — ONE
+    map-side-combining shuffle per iteration. The residual r is row-local
+    (margin via the literal weight array), and appending a sentinel feature
+    (bucket=-1, x=1) per doc folds the bias gradient into the same
+    groupBy(bucket): Σ x_db·r_d lands on each real bucket, Σ r_d on the
+    sentinel. (r5 ADVICE: the old margins-join form ran three shuffle
+    computations per iteration.)"""
+    w = np.zeros(int(n_buckets), dtype=np.float64)
+    bias = 0.0
+    sentinel = F.array(
+        F.struct(F.lit(-1).cast("int").alias("bucket"), F.lit(1.0).alias("x"))
+    )
+    for _ in range(int(iters)):
+        r = (
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin_expr(_w_literal_array(w), bias)))
+            - F.col("y")
+        )
+        # r STAGED below the explode: a single select would pull the
+        # margin expression above the Generate and re-evaluate it per
+        # exploded feature row (measured ~10× per iteration)
+        grad = (
+            fda_y.select("bx", r.alias("r"))
+            .select("r", F.explode(F.concat(F.col("bx"), sentinel)).alias("e"))
+            .groupBy(F.col("e.bucket").alias("bucket"))
+            .agg((F.sum(F.col("e.x") * F.col("r")) / n).alias("g"))
+            .collect()
+        )
+        for row in grad:
+            if row["bucket"] < 0:
+                bias -= lr * float(row["g"])
+            else:
+                w[row["bucket"]] -= lr * float(row["g"])
+    return w, bias
+
+
+def _feature_arrays_with_labels(
+    docs: DataFrame,
+    target_source: str,
+    n_buckets: int,
+    text_col: str,
+    source_col: str,
+    key_col: str,
+) -> tuple[DataFrame, float]:
+    """Materialized (key, bx, y) + N. localCheckpoint (not persist): the
+    blocks die with this run's RDD — a persist()'s CacheManager entry
+    would be plan-keyed and silently shared with a later identical call."""
+    y = (F.col(source_col) == target_source).cast("double")
+    labels = docs.select(F.col(key_col).alias("key"), y.alias("y"))
+    fda_y = (
+        _doc_feature_arrays(docs, n_buckets=n_buckets, text_col=text_col, key_col=key_col)
+        .join(labels, "key")
+        .localCheckpoint(eager=True)
+    )
+    return fda_y, float(labels.count())
 
 
 def train_quality_classifier(
@@ -78,55 +176,10 @@ def train_quality_classifier(
     ``source == target_source`` (y=1) from the rest (y=0), full-batch
     GD, ``iters`` iterations from w=0, b=0. lr=10 suits L1-normalized
     features whose per-doc mass is 1 (margins live in [-|w|∞, |w|∞])."""
-    spark = docs.sparkSession
-    b_n = int(n_buckets)
-    y = (F.col(source_col) == target_source).cast("double")
-    labels = docs.select(F.col(key_col).alias("key"), y.alias("y"))
-    feats = doc_features(
-        docs, n_buckets=b_n, text_col=text_col, key_col=key_col
-    ).join(labels, "key")
-    # persist (not localCheckpoint): built once, reused per iteration, and
-    # DataFrame.unpersist() actually releases it — localCheckpoint pins an
-    # RDD outside the cache manager and leaks one entry per training call
-    feats = feats.persist()
-    n = float(labels.count())
-    w = np.zeros(b_n, dtype=np.float64)
-    bias = 0.0
-    for _ in range(int(iters)):
-        wdf = spark.createDataFrame(
-            [(i, float(wv)) for i, wv in enumerate(w) if wv != 0.0] or [(0, 0.0)],
-            "bucket int, w double",
-        )
-        margins = (
-            feats.join(F.broadcast(wdf), "bucket", "left")
-            .groupBy("key", "y")
-            .agg(
-                (
-                    F.lit(bias)
-                    + F.sum(F.col("x") * F.coalesce(F.col("w"), F.lit(0.0)))
-                ).alias("m")
-            )
-            .select(
-                "key",
-                "y",
-                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))) - F.col("y")).alias(
-                    "r"
-                ),
-            )
-        )
-        grad = (
-            feats.select("key", "bucket", "x")
-            .join(margins.select("key", "r"), "key")
-            .groupBy("bucket")
-            .agg((F.sum(F.col("x") * F.col("r")) / n).alias("g"))
-            .collect()
-        )
-        gb = margins.agg((F.sum("r") / n).alias("g")).collect()[0]["g"]
-        for row in grad:
-            w[row["bucket"]] -= lr * row["g"]
-        bias -= lr * float(gb)
-    feats.unpersist()
-    return w, bias
+    fda_y, n = _feature_arrays_with_labels(
+        docs, target_source, int(n_buckets), text_col, source_col, key_col
+    )
+    return _train_on_arrays(fda_y, n, int(n_buckets), iters, lr)
 
 
 def classifier_scores(
@@ -176,19 +229,21 @@ def quality_classifier_scores(
     source_col: str = "source",
     key_col: str = "doc_id",
 ) -> DataFrame:
-    """Train-then-score in one call (the contract-query entry point)."""
-    w, bias = train_quality_classifier(
-        docs,
-        target_source,
-        n_buckets=n_buckets,
-        iters=iters,
-        lr=lr,
-        text_col=text_col,
-        source_col=source_col,
-        key_col=key_col,
+    """Train-then-score in one call (the contract-query entry point).
+
+    Features are packed + materialized ONCE and shared by the GD loop and
+    the scoring pass (previously scoring re-tokenized + re-hashed the
+    whole corpus); scoring itself is row-local over the packed arrays —
+    same margin arithmetic as classifier_scores' broadcast-join form, and
+    the same output cardinality (docs with ≥1 feature row)."""
+    fda_y, n = _feature_arrays_with_labels(
+        docs, target_source, int(n_buckets), text_col, source_col, key_col
     )
-    return classifier_scores(
-        docs, w, bias, n_buckets=n_buckets, text_col=text_col, key_col=key_col
+    w, bias = _train_on_arrays(fda_y, n, int(n_buckets), iters, lr)
+    m = _margin_expr(_w_literal_array(w), bias)
+    return fda_y.select(
+        F.col("key").alias(key_col),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-m)), 5).alias("score"),
     )
 
 

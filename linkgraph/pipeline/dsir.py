@@ -39,14 +39,20 @@ from pyspark.sql import Column, DataFrame, functions as F
 from linkgraph.pipeline.text import md5_uniform
 
 
-def _grams(text_col: str) -> Column:
-    """Unigrams + space-joined bigrams over a whitespace tokenization —
-    all row-local codegen (split / sequence / transform / concat), no
-    UDF, no shuffle. sequence(0, n-2) would be a DESCENDING [0,-1] for
-    one-token docs (Spark's sequence semantics), hence the n >= 2 guard;
-    DuckDB's half-open range(1, n) is empty there, so the SQL twin needs
-    no guard."""
-    toks = F.split(F.col(text_col), " ")
+def _grams_arr(toks: Column) -> Column:
+    """Unigrams + space-joined bigrams from an ALREADY-MATERIALIZED token
+    array column — row-local, no UDF, no shuffle. sequence(0, n-2) would
+    be a DESCENDING [0,-1] for one-token docs (Spark's sequence
+    semantics), hence the n >= 2 guard; DuckDB's half-open range(1, n)
+    is empty there, so the SQL twin needs no guard.
+
+    Callers should pass an attribute (stage ``split(text, ' ')`` in its
+    own projection first): higher-order functions run INTERPRETED (no
+    whole-stage codegen, no common-subexpression elimination), so a
+    ``toks`` that is itself ``split(...)`` is re-evaluated by every
+    ``element_at`` — ~2 splits per bigram (measured ~20× on the gram
+    explode at sf0.1). CollapseProject will not inline a non-cheap alias
+    referenced more than once, so the staged projection survives."""
     n = F.size(toks)
     bigrams = F.when(
         n >= 2,
@@ -58,6 +64,13 @@ def _grams(text_col: str) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.concat(toks, bigrams)
+
+
+def _grams(text_col: str) -> Column:
+    """Inline-split form of :func:`_grams_arr` — only for row-at-a-time
+    consumers that cannot stage a projection (the streaming row-local
+    scorer); explode call sites must use the staged ``_grams_arr``."""
+    return _grams_arr(F.split(F.col(text_col), " "))
 
 
 def _bucket(gram: Column, n_buckets: int) -> Column:
@@ -80,8 +93,8 @@ def hashed_ngram_counts(
     One explode + one map-side-combining groupBy; the feature width is
     ``n_buckets`` no matter how large the vocabulary grows."""
     g = docs.select(
-        F.col(key_col).alias("key"), F.explode(_grams(text_col)).alias("gram")
-    )
+        F.col(key_col).alias("key"), F.split(F.col(text_col), " ").alias("_toks")
+    ).select("key", F.explode(_grams_arr(F.col("_toks"))).alias("gram"))
     return (
         g.select("key", _bucket(F.col("gram"), n_buckets).alias("bucket"))
         .groupBy("key", "bucket")
@@ -115,12 +128,18 @@ def dsir_log_weights(
     g = docs.select(
         F.col(key_col).alias("key"),
         is_tgt.alias("tgt"),
-        F.explode(_grams(text_col)).alias("gram"),
-    )
+        F.split(F.col(text_col), " ").alias("_toks"),
+    ).select("key", "tgt", F.explode(_grams_arr(F.col("_toks"))).alias("gram"))
+    # materialize ONCE: feats feeds BOTH the bucket-model aggregate and
+    # the per-doc weight pass, and Spark does not dedup common subtrees —
+    # without this the explode + md5 hashing of every gram ran twice per
+    # action (localCheckpoint, not persist: no CacheManager entry to be
+    # plan-matched by a later identical call)
     feats = (
         g.select("key", "tgt", _bucket(F.col("gram"), b).alias("bucket"))
         .groupBy("key", "tgt", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     per_bucket = feats.groupBy("bucket").agg(
         F.sum(F.when(F.col("tgt"), F.col("cnt")).otherwise(0)).alias("tc"),
