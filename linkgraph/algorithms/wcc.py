@@ -89,6 +89,27 @@ def wcc(
         if latest is not None:
             start, e, _ = latest
     e = e.localCheckpoint(eager=True)
+
+    # r6 hybrid crossover (union_find_mapping's documented contract): the
+    # symmetrized edge list is materialized anyway, so one cheap count
+    # routes driver-sized graphs through numpy union-find — identical
+    # min-member-id labels, zero fixpoint rounds (each large/small-star
+    # round costs ~6 jobs of fixed scheduler overhead). The distributed
+    # Kiveris fixpoint below is unchanged and remains the at-scale path
+    # (and the only path under checkpoint/resume).
+    from linkgraph.algorithms.blocks import DRIVER_EDGE_THRESHOLD
+
+    if checkpoint is None and e.count() <= 2 * DRIVER_EDGE_THRESHOLD:
+        mapping = union_find_mapping(e.filter(F.col("u") < F.col("v")))
+        out = (
+            nodes.join(mapping, "id", "left")
+            .select("id", F.coalesce("component", F.col("id")).alias("component"))
+        )
+        nodes.unpersist()
+        out.iterations = 0
+        out.did_converge = True
+        return out
+
     prev_fp = _fingerprint(e)
 
     step = start
@@ -137,30 +158,26 @@ def union_find_mapping(pairs_df: DataFrame, spark=None) -> DataFrame:
     if len(pdf) == 0:
         return spark.createDataFrame([], "id long, component long")
     pairs = pdf.to_numpy(dtype=np.int64)
-    uniq = np.unique(pairs)
-    idx = {int(v): i for i, v in enumerate(uniq)}
-    parent = np.arange(len(uniq))
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in pairs:
-        ra, rb = find(idx[int(a)]), find(idx[int(b)])
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    roots = np.array([find(i) for i in range(len(uniq))])
-    root_min: dict = {}
-    for i, r in enumerate(roots):
-        v = int(uniq[i])
-        root_min[r] = min(root_min.get(r, v), v)
+    uniq, inv = np.unique(pairs, return_inverse=True)
+    inv = inv.reshape(pairs.shape)
+    a_idx, b_idx = inv[:, 0], inv[:, 1]
+    # r6: vectorized iterated min-label + pointer jumping (the numpy form
+    # of hash-min; a per-pair Python find/union loop was the bottleneck at
+    # ~1M pairs). Labels are indices into the SORTED uniq array, start at
+    # self, and only ever decrease, so label chases are valid pointer
+    # jumps and the fixpoint label is the index of the component's min id.
+    label = np.arange(len(uniq))
+    while True:
+        before = label.copy()
+        np.minimum.at(label, a_idx, label[b_idx])
+        np.minimum.at(label, b_idx, label[a_idx])
+        label = label[label]
+        label = label[label]
+        if np.array_equal(label, before):
+            break
     return F.broadcast(
         spark.createDataFrame(
-            pd.DataFrame(
-                {"id": uniq, "component": [root_min[r] for r in roots]}
-            )
+            pd.DataFrame({"id": uniq, "component": uniq[label]})
         )
     )
 

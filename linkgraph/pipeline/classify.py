@@ -148,17 +148,19 @@ def _feature_arrays_with_labels(
     text_col: str,
     source_col: str,
     key_col: str,
+    checkpoint: bool = True,
 ) -> tuple[DataFrame, float]:
-    """Materialized (key, bx, y) + N. localCheckpoint (not persist): the
-    blocks die with this run's RDD — a persist()'s CacheManager entry
-    would be plan-keyed and silently shared with a later identical call."""
+    """Materialized (key, bx, y) + N. checkpoint=True → localCheckpoint
+    (blocks die with this run's RDD — a persist()'s CacheManager entry is
+    plan-keyed and would be silently shared with a later identical call);
+    checkpoint=False → lazy persist, for callers that unpersist
+    themselves (train-only path, which must leave no pinned RDDs)."""
     y = (F.col(source_col) == target_source).cast("double")
     labels = docs.select(F.col(key_col).alias("key"), y.alias("y"))
-    fda_y = (
-        _doc_feature_arrays(docs, n_buckets=n_buckets, text_col=text_col, key_col=key_col)
-        .join(labels, "key")
-        .localCheckpoint(eager=True)
-    )
+    fda_y = _doc_feature_arrays(
+        docs, n_buckets=n_buckets, text_col=text_col, key_col=key_col
+    ).join(labels, "key")
+    fda_y = fda_y.localCheckpoint(eager=True) if checkpoint else fda_y.persist()
     return fda_y, float(labels.count())
 
 
@@ -177,9 +179,13 @@ def train_quality_classifier(
     GD, ``iters`` iterations from w=0, b=0. lr=10 suits L1-normalized
     features whose per-doc mass is 1 (margins live in [-|w|∞, |w|∞])."""
     fda_y, n = _feature_arrays_with_labels(
-        docs, target_source, int(n_buckets), text_col, source_col, key_col
+        docs, target_source, int(n_buckets), text_col, source_col, key_col,
+        checkpoint=False,
     )
-    return _train_on_arrays(fda_y, n, int(n_buckets), iters, lr)
+    try:
+        return _train_on_arrays(fda_y, n, int(n_buckets), iters, lr)
+    finally:
+        fda_y.unpersist()
 
 
 def classifier_scores(

@@ -209,6 +209,28 @@ def _clusters_from_pairs(pairs: DataFrame, items: DataFrame, id_col: str) -> Dat
     edge_list = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).localCheckpoint(eager=True)
+    # r6: driver-sized pair graphs skip the distributed contraction + WCC
+    # entirely — numpy union-find over the materialized pair list (the
+    # union_find_mapping hybrid contract; identical min-member-id labels).
+    # Dense near-dup pair sets make the hash-min contraction itself several
+    # jobs of mostly fixed overhead; beyond the threshold the contraction +
+    # distributed WCC tail below is unchanged.
+    from linkgraph.algorithms.blocks import DRIVER_EDGE_THRESHOLD
+    from linkgraph.algorithms.wcc import union_find_mapping
+
+    if edge_list.count() <= DRIVER_EDGE_THRESHOLD:
+        mapping = union_find_mapping(edge_list)
+        return (
+            items.select(F.col(id_col).alias("id"))
+            .join(mapping, "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                F.coalesce("component", F.col("id")).alias("cluster"),
+                (F.col("id") == F.coalesce("component", F.col("id"))).alias(
+                    "is_representative"
+                ),
+            )
+        )
     sym = edge_list.unionByName(
         edge_list.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -249,6 +271,85 @@ def _clusters_from_pairs(pairs: DataFrame, items: DataFrame, id_col: str) -> Dat
     )
 
 
+_BITSET_MAX_VOCAB = 1024  # ≤16 uint64 words per doc-mask
+
+
+def _bitset_jaccard_pairs(
+    toks: DataFrame, threshold: float, n_vocab: int
+) -> DataFrame:
+    """Exact all-pairs Jaccard when the DISTINCT VOCABULARY is tiny
+    (≤ _BITSET_MAX_VOCAB): every token set becomes a ⌈V/64⌉-word bitmask,
+    the intersection is popcount(a AND b), and a U×U block kernel in one
+    Arrow pass replaces U²/2 interpreted array_intersects (measured ~6×
+    on the sf0.1 near-clique corpus, where V = 31). The guarded driver
+    collect is bounded by the caller's U ≤ direct_max gate — the same
+    collect-and-broadcast small-side pattern as vector_similarity.
+
+    Bit-identical to the codegen path: popcounts are exact ints, the
+    division is the same IEEE double op, and ROUNDING + the threshold cut
+    happen in Spark (np.round half-even ≠ Spark/DuckDB HALF_UP — only a
+    conservative raw prefilter runs in numpy)."""
+    import pyarrow as pa
+
+    spark = toks.sparkSession
+    rows = toks.select("doc_id", "t").collect()
+    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    vocab: dict = {}
+    W = max(1, -(-int(n_vocab) // 64))
+    masks = np.zeros((len(rows), W), dtype=np.uint64)
+    cnts = np.zeros(len(rows), dtype=np.int64)
+    for i, r in enumerate(rows):
+        ts = r["t"]
+        cnts[i] = len(ts)
+        for tok in ts:
+            b = vocab.setdefault(tok, len(vocab))
+            masks[i, b >> 6] |= np.uint64(1) << np.uint64(b & 63)
+    U = len(ids)
+    sc = spark.sparkContext
+    bc = sc.broadcast((ids, cnts, masks))
+
+    def kernel(batches):
+        ids_, cnts_, masks_ = bc.value
+        lut = np.zeros(65536, dtype=np.int64)
+        for k in range(16):
+            lut += (np.arange(65536) >> k) & 1
+        lut = lut.astype(np.uint16)
+        w = masks_.shape[1]
+        chunk = max(1, 4_000_000 // max(1, U * w))
+        pre = threshold - 1e-5  # raw prefilter; exact rounded cut in Spark
+        for batch in batches:
+            idx = batch.column("id").to_numpy().astype(np.int64)
+            for s in range(0, len(idx), chunk):
+                rows_i = idx[s : s + chunk]
+                band = masks_[rows_i][:, None, :] & masks_[None, :, :]
+                inter = (
+                    lut[band.view(np.uint16).reshape(len(rows_i), U, w * 4)]
+                    .sum(axis=-1)
+                    .astype(np.int64)
+                )
+                union = cnts_[rows_i][:, None] + cnts_[None, :] - inter
+                raw = inter / np.maximum(union, 1)
+                keep = (raw >= pre) & (rows_i[:, None] < np.arange(U)[None, :])
+                ii, jj = np.nonzero(keep)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids_[rows_i[ii]], pa.int64()),
+                        pa.array(ids_[jj], pa.int64()),
+                        pa.array(raw[ii, jj], pa.float64()),
+                    ],
+                    names=["ia", "ib", "raw"],
+                )
+
+    par = spark.sparkContext.defaultParallelism
+    left = spark.range(U).repartition(par)
+    scored = left.mapInArrow(kernel, schema="ia long, ib long, raw double")
+    return scored.select(
+        F.least("ia", "ib").alias("a"),
+        F.greatest("ia", "ib").alias("b"),
+        F.round("raw", 5).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def _direct_jaccard_pairs(
     docs: DataFrame, threshold: float, text_col: str
 ) -> DataFrame:
@@ -261,11 +362,20 @@ def _direct_jaccard_pairs(
     array_intersects beat building the inverted prefix index — on
     near-clique fixtures (tiny vocab, most pairs true) the prefix join
     degenerates to MORE than U² emissions because every "rare" token
-    still has huge df. Same rounding as the index path: value-identical."""
+    still has huge df. Same rounding as the index path: value-identical.
+
+    r6: when the distinct vocabulary is ≤ _BITSET_MAX_VOCAB (one adaptive
+    aggregate — near-clique corpora have tiny vocabularies by nature),
+    the verify drops into the bitmask popcount kernel above."""
     toks = docs.select(
         "doc_id",
         F.array_distinct(F.split(F.col(text_col), " ")).alias("t"),
     ).withColumn("c", F.size("t"))
+    n_vocab = toks.select(F.explode("t").alias("tok")).agg(
+        F.countDistinct("tok")
+    ).first()[0] or 0
+    if 0 < n_vocab <= _BITSET_MAX_VOCAB:
+        return _bitset_jaccard_pairs(toks, threshold, int(n_vocab))
     # the stream side of a broadcast-nested-loop join is NOT re-split by the
     # planner: if docs arrived as one partition (e.g. off a localCheckpoint),
     # the whole U² scan runs on one core. Spread it across the cluster.
