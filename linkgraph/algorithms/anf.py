@@ -76,6 +76,81 @@ def _estimate(sketches: DataFrame) -> DataFrame:
     )
 
 
+def _anf_curve_local(edges: DataFrame, nodes: DataFrame, sk: DataFrame, max_h: int):
+    """Driver-local sketch propagation below DRIVER_EDGE_THRESHOLD (r6) —
+    the union-find / pull-engine hybrid crossover applied to ANF. The
+    initial FM bitmasks are still the Spark-computed xxhash64 sketches
+    (collected once: n×R longs); each hop is then one dst-grouped OR
+    (np.bitwise_or.reduceat) instead of ~4 exchanges, with bit-identical
+    masks (OR is order-free) and the same estimate arithmetic (b = 63 −
+    sentinel cases or trailing zeros of ~mask, est = 2^mean(b)/φ — all
+    exact small-int sums). Returns None above the threshold or when the
+    edge list references ids outside the node set (the distributed loop's
+    outer-join semantics differ there)."""
+    import numpy as np
+
+    from linkgraph.algorithms.blocks import DRIVER_EDGE_THRESHOLD
+
+    e = edges.localCheckpoint(eager=True)
+    if e.count() > DRIVER_EDGE_THRESHOLD:
+        return None
+    sk_pd = sk.toPandas()
+    ids = np.sort(sk_pd["id"].unique().astype(np.int64))
+    n = len(ids)
+    R = int(sk_pd["trial"].max()) + 1 if n else 1
+    masks = np.zeros((n, R), dtype=np.int64)
+    masks[
+        np.searchsorted(ids, sk_pd["id"].to_numpy(np.int64)),
+        sk_pd["trial"].to_numpy(np.int64),
+    ] = sk_pd["mask"].to_numpy(np.int64)
+    epd = e.toPandas()
+    es, ed = epd["_s"].to_numpy(np.int64), epd["_d"].to_numpy(np.int64)
+    ps, pd_ = np.searchsorted(ids, es), np.searchsorted(ids, ed)
+    ok = (
+        (ps < n) & (pd_ < n)
+        & (ids[np.minimum(ps, n - 1)] == es)
+        & (ids[np.minimum(pd_, n - 1)] == ed)
+    )
+    if len(es) and not ok.all():
+        return None  # stray endpoints: distributed outer-join semantics
+    order = np.argsort(ps, kind="stable")
+    ps, pd_ = ps[order], pd_[order]
+    s_uniq, s_start = (
+        (np.unique(ps, return_index=True)) if len(ps) else (ps, ps)
+    )
+    lut = np.zeros(65536, dtype=np.int64)
+    for k in range(16):
+        lut += (np.arange(65536) >> k) & 1
+    lut16 = lut.astype(np.uint16)
+
+    def est_sum(m: np.ndarray) -> float:
+        inv = ~m
+        low = inv & (-inv)
+        b = lut16[(low - 1).view(np.uint16)].reshape(n, R, 4).sum(axis=2)
+        b = np.where(inv == 0, 63, b).astype(np.float64)
+        return float((np.power(2.0, b.mean(axis=1)) / _FM_PHI).sum())
+
+    curve = [(0, float(n))]
+    stable_hops = 0
+    for h in range(1, max_h + 1):
+        if len(ps):
+            gathered = np.bitwise_or.reduceat(masks[pd_], s_start, axis=0)
+            new = masks.copy()
+            new[s_uniq] |= gathered
+        else:
+            new = masks
+        masks = new
+        est = est_sum(masks)
+        curve.append((h, est))
+        if abs(est - curve[-2][1]) <= 1e-9 * max(est, 1.0):
+            stable_hops += 1
+            if stable_hops >= 2:
+                break
+        else:
+            stable_hops = 0
+    return curve
+
+
 def neighborhood_function(
     graph: Graph,
     max_h: int = 32,
@@ -103,6 +178,12 @@ def neighborhood_function(
     sk = _init_sketches(graph.nodes.select("id"), num_trials).localCheckpoint(
         eager=True
     )
+    curve_local = _anf_curve_local(edges, graph.nodes.select("id"), sk, max_h)
+    if curve_local is not None:
+        return spark.createDataFrame(
+            [(h, round(v, 3)) for h, v in curve_local],
+            "h int, neighborhood_estimate double",
+        )
     curve = [(0, float(n0))]
     stable_hops = 0
     for h in range(1, max_h + 1):
@@ -110,11 +191,15 @@ def neighborhood_function(
             edges.join(sk.withColumnRenamed("id", "_d"), "_d")
             .select(F.col("_s").alias("id"), "trial", "mask")
         )
+        # lazy checkpoint + ONE action per hop (r6): the estimate
+        # aggregate is a full scan, so it both materializes the hop's
+        # sketch table and returns the convergence scalar — previously
+        # the eager checkpoint and the estimate were two jobs per hop
         sk = (
             sk.unionByName(nbr)
             .groupBy("id", "trial")
             .agg(F.bit_or("mask").alias("mask"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         est = float(
             _estimate(sk).agg(F.coalesce(F.sum("est"), F.lit(0.0))).collect()[0][0]

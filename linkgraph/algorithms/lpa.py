@@ -15,7 +15,7 @@ fixtures are chosen where the two schedules agree (FIXTURES.md G_LPA).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from linkgraph.graph import Graph
 from linkgraph.io import CheckpointManager
@@ -57,7 +57,6 @@ def label_propagation(
     labels = labels.localCheckpoint(eager=True)
 
     w_expr = F.sum("weight") if weighted else F.count(F.lit(1)).cast("double")
-    win = Window.partitionBy("dst").orderBy(F.desc("w"), F.asc("label"))
 
     iterations, converged = start_step, False
     for step in range(start_step, max_iterations):
@@ -66,24 +65,32 @@ def label_propagation(
             .groupBy("dst", "label")
             .agg(w_expr.alias("w"))
         )
+        # r6: arg-max via max(struct(w, -label)) — partial (map-side)
+        # aggregation instead of a row_number window's shuffle + sort.
+        # Lexicographic struct max = max weight then MIN label, exactly
+        # the window's (w desc, label asc) winner (node ids are ≥ 0, so
+        # negation is safe); comparisons are on identical doubles.
         best = (
-            votes.withColumn("_rn", F.row_number().over(win))
-            .filter(F.col("_rn") == 1)
-            .select(F.col("dst").alias("id"), F.col("label").alias("new_label"))
+            votes.groupBy("dst")
+            .agg(F.max(F.struct(F.col("w"), (-F.col("label")).alias("_nl"))).alias("m"))
+            .select(F.col("dst").alias("id"), (-F.col("m._nl")).alias("new_label"))
         )
-        # eager localCheckpoint: labels feeds both the vote join and the
-        # carry-over coalesce — without truncation the plan doubles per round
+        # lazy localCheckpoint + ONE action per round: labels feeds both
+        # the vote join and the carry-over coalesce (truncation still
+        # needed or the plan doubles per round); the changed-count below
+        # is a full scan, so it materializes the checkpoint in the same
+        # job. count() not limit(1): a partial action must not complete
+        # a lazy checkpoint.
         new_labels = (
             labels.join(best, "id", "left")
             .select("id", F.coalesce("new_label", "label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=not run_to_convergence)
         )
         if run_to_convergence:
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "id")
                 .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
                 .count()
             )
         else:

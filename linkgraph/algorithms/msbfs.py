@@ -61,10 +61,15 @@ def _level_sync_msbfs(edges: DataFrame, assign: DataFrame, max_depth: int | None
             .groupBy("chunk", F.col("dst").alias("id"))
             .agg(F.expr("bit_or(bits)").alias("nbits"))
         )
-        # ONE checkpoint per level: the merged (visited ⟗ new-arrivals)
-        # table carries both the newly-set bits (frontier) and the updated
-        # visited bits as cheap projections — previously the frontier and
-        # the visited update were two separate heavy jobs per level
+        # ONE JOB per level (r6): both checkpoints are LAZY and the
+        # frontier count() is the single action that materializes them —
+        # merged (visited ⟗ new-arrivals) carries the newly-set bits and
+        # the visited update as cheap projections, and nxt is the
+        # frontier-sized slice consumers keep per level (without it every
+        # level would pin the full visited-size checkpoint until the
+        # end-of-run union). count(), not isEmpty(): a take(1)-style
+        # action could complete the lazy checkpoints having computed only
+        # some partitions.
         merged = (
             visited.join(agg, ["chunk", "id"], "outer")
             .select(
@@ -73,24 +78,97 @@ def _level_sync_msbfs(edges: DataFrame, assign: DataFrame, max_depth: int | None
                 F.expr("coalesce(vbits, 0L)").alias("vbits"),
                 F.expr("coalesce(nbits, 0L) & ~coalesce(vbits, 0L)").alias("bits"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # materialize the FRONTIER-sized slice too (light job: a scan of
-        # the cached merged table, no joins/shuffles) — consumers keep a
-        # reference per level, and without this every level would pin the
-        # full visited-size merged checkpoint until the end-of-run union
         nxt = (
             merged.filter(F.col("bits") != 0)
             .select("chunk", "id", "bits")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             return
         yield depth, nxt
         visited = merged.select(
             "chunk", "id", F.expr("vbits | bits").alias("vbits")
         )
         frontier = nxt
+
+
+def _msbfs_sums_local(edges: DataFrame, nodes: DataFrame, max_depth, mode):
+    """Driver-local bitset MSBFS below DRIVER_EDGE_THRESHOLD (r6) — the
+    same hybrid crossover as union-find / the pull engine. IDENTICAL
+    arithmetic to the distributed path: the same 64-sources-per-word
+    bitsets, one OR-propagation per level (np.bitwise_or.reduceat over a
+    dst-sorted edge array), popcount deltas accumulated per (node,
+    depth) with the same increment formulas — reachable counts are exact
+    ints and dist_sum products/sums are the same float64 ops, so outputs
+    are value-identical. Returns None above the threshold (the chunked
+    distributed MSBFS is unchanged and remains the at-scale path)."""
+    import numpy as np
+
+    from linkgraph.algorithms.blocks import DRIVER_EDGE_THRESHOLD
+
+    e = edges.localCheckpoint(eager=True)
+    if e.count() > DRIVER_EDGE_THRESHOLD:
+        return None
+    spark = nodes.sparkSession
+    node_pd = nodes.toPandas()
+    ids = np.sort(node_pd["id"].to_numpy(np.int64))
+    n = len(ids)
+    if n == 0:
+        return spark.createDataFrame([], "id long, reachable long, dist_sum double")
+    epd = e.toPandas()
+    src = np.searchsorted(ids, epd["src"].to_numpy(np.int64))
+    dst = np.searchsorted(ids, epd["dst"].to_numpy(np.int64))
+    order = np.argsort(dst, kind="stable")
+    src, dst = src[order], dst[order]
+    dst_uniq, dst_start = np.unique(dst, return_index=True)
+    W = max(1, -(-n // 64))
+    visited = np.zeros((n, W), dtype=np.uint64)
+    rows = np.arange(n)
+    visited[rows, rows >> 6] = np.uint64(1) << (rows & 63).astype(np.uint64)
+    frontier = visited.copy()
+    lut = np.zeros(65536, dtype=np.int64)
+    for k in range(16):
+        lut += (np.arange(65536) >> k) & 1
+    lut16 = lut.astype(np.uint16)
+    reachable = np.zeros(n, dtype=np.int64)
+    dist_sum = np.zeros(n, dtype=np.float64)
+    depth = 0
+    while True:
+        depth += 1
+        if max_depth is not None and depth > max_depth:
+            break
+        if len(src):
+            gathered = np.bitwise_or.reduceat(frontier[src], dst_start, axis=0)
+        else:
+            break
+        new = np.zeros_like(visited)
+        new[dst_uniq] = gathered
+        newly = new & ~visited
+        active = newly.any(axis=1)
+        if not active.any():
+            break
+        r_inc = (
+            lut16[newly[active].view(np.uint16)]
+            .reshape(active.sum(), W * 4)
+            .sum(axis=1)
+            .astype(np.int64)
+        )
+        reachable[active] += r_inc
+        if mode == "harmonic":
+            dist_sum[active] += r_inc.astype(np.float64) / depth
+        elif mode == "dangalchev":
+            dist_sum[active] += r_inc.astype(np.float64) * (2.0 ** -depth)
+        else:
+            dist_sum[active] += r_inc.astype(np.float64) * depth
+        visited |= newly
+        frontier = newly
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"id": ids, "reachable": reachable, "dist_sum": dist_sum})
+    )
 
 
 def msbfs_distance_sums(
@@ -116,6 +194,11 @@ def msbfs_distance_sums(
         edges = graph.edges.select("src", "dst")
     edges = edges.filter(F.col("src") != F.col("dst")).persist()
     nodes = graph.nodes.select("id")
+    if source_sample is None:
+        out = _msbfs_sums_local(edges, nodes, max_depth, mode)
+        if out is not None:
+            edges.unpersist()
+            return out
     scale = 1.0
     if source_sample is not None and source_sample < 1.0:
         srcs = nodes.sample(fraction=source_sample, seed=seed)

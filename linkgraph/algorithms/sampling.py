@@ -97,7 +97,11 @@ def sample_neighbors(
         F.least(F.lit(1.0), F.lit(float(oversample * fanout)) / F.col("_d"))
         * F.lit(float(HASH_M))
     )
-    pref = withh.where(F.col("_h") < thresh).localCheckpoint(eager=True)
+    # lazy checkpoint (r6): pref fans out to four consumers (kcnt,
+    # deficient, ok, fallback) that all land in the SAME downstream job,
+    # which computes it once and truncates lineage — the eager form paid
+    # one extra job of fixed overhead per hop
+    pref = withh.where(F.col("_h") < thresh).localCheckpoint(eager=False)
     # deficiency check: nodes whose prefilter kept fewer than min(f, d)
     # rows cannot be proven complete — re-rank their FULL adjacency (the
     # Poisson left tail at mean oversample*f: rare, and each is one node)
@@ -150,7 +154,10 @@ def k_hop_sample(
                 F.col("src").cast("long").alias("src"),
                 F.col("dst").cast("long").alias("dst"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the output union and the next hop's frontier are both
+            # parts of the one final job — it materializes every hop's
+            # slice in a single pass (was one eager job per hop)
+            .localCheckpoint(eager=False)
         )
         hops.append(samp)
         frontier = samp.select(F.col("dst").alias("src")).distinct()

@@ -38,6 +38,9 @@ def _norm(v: str):
     )
 
 
+_BRUTE_MAX_BROADCAST = 512 << 20  # corpus matrix budget for the Arrow kernel
+
+
 def cosine_topk_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,
@@ -45,19 +48,90 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(a, b, cosine): top-k corpus neighbors per query vector, exact."""
+    """(a, b, cosine): top-k corpus neighbors per query vector, exact.
+
+    r6: the pair scoring runs as an Arrow kernel over a broadcast corpus
+    matrix when it fits a size guard — the per-pair zip_with/aggregate
+    dot product is an interpreted HOF (~dim lambda steps per pair). The
+    kernel accumulates the dot and the norms SEQUENTIALLY over the
+    dimension axis (a Python loop of vectorized column ops), which is the
+    exact fold order of both the old expression and DuckDB's
+    list_dot_product — bit-identical raws; rounding and the top-k cut
+    stay in Spark."""
     a = queries.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("a") != F.col("b"))
-    scored = pairs.select(
-        "a", "b", F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), 4).alias("cosine")
-    )
+    agg = corpus.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size(vec_col)).alias("dim")
+    ).first()
+    n_corp, dim = int(agg["n"] or 0), int(agg["dim"] or 0)
+    if 0 < n_corp * max(dim, 1) * 8 <= _BRUTE_MAX_BROADCAST:
+        scored = _cosine_scores_arrow(a, b, n_corp)
+    else:
+        pairs = a.crossJoin(F.broadcast(b)).filter(F.col("a") != F.col("b"))
+        scored = pairs.select(
+            "a",
+            "b",
+            F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), 4).alias("cosine"),
+        )
     win = Window.partitionBy("a").orderBy(F.desc("cosine"), F.asc("b"))
     return (
         scored.withColumn("_rn", F.row_number().over(win))
         .filter(F.col("_rn") <= k)
         .select("a", "b", "cosine")
     )
+
+
+def _cosine_scores_arrow(a: DataFrame, b: DataFrame, n_corp: int) -> DataFrame:
+    """All (query, corpus) cosine raws via numpy, dimension-sequential."""
+    import pyarrow as pa
+
+    spark = a.sparkSession
+    rows = b.collect()
+    ids = np.array([r["b"] for r in rows], dtype=np.int64)
+    M = np.array([list(map(float, r["vb"])) for r in rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((ids, M))
+
+    def seq_dot(A, B):
+        """Σ_d A[:,d,None]·B[None,:,d] accumulated in dimension order —
+        the same left fold as zip_with/aggregate and list_dot_product."""
+        acc = np.zeros((A.shape[0], B.shape[0]))
+        for d_ in range(A.shape[1]):
+            acc += A[:, d_][:, None] * B[:, d_][None, :]
+        return acc
+
+    def kernel(batches):
+        ids_, M_ = bc.value
+        nb = np.zeros(len(ids_))
+        for d_ in range(M_.shape[1]):
+            nb += M_[:, d_] * M_[:, d_]
+        nb = np.sqrt(nb)
+        for batch in batches:
+            qa = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+            A = np.array(
+                [list(map(float, v)) for v in batch.column("va").to_pylist()],
+                dtype=np.float64,
+            )
+            if len(qa) == 0:
+                continue
+            na = np.zeros(len(qa))
+            for d_ in range(A.shape[1]):
+                na += A[:, d_] * A[:, d_]
+            na = np.sqrt(na)
+            raw = seq_dot(A, M_) / (na[:, None] * nb[None, :])
+            keep = qa[:, None] != ids_[None, :]
+            ii, jj = np.nonzero(keep)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qa[ii], pa.int64()),
+                    pa.array(ids_[jj], pa.int64()),
+                    pa.array(raw[ii, jj], pa.float64()),
+                ],
+                names=["a", "b", "raw"],
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    scored = a.repartition(par).mapInArrow(kernel, schema="a long, b long, raw double")
+    return scored.select("a", "b", F.round("raw", 4).alias("cosine"))
 
 
 def train_ivf_centroids(
