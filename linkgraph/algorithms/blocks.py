@@ -61,6 +61,23 @@ _PULL_ARRAYS = ["src", "slice_pos", "w_norm"]
 
 EDGES_PER_BLOCK = 1 << 18  # ≥256k edges per block: real numpy work per task
 
+# Pull-superstep task sizing (guide §2.2 "fewer, larger map tasks"): the
+# per-task fixed overhead (scheduling + Python worker round-trip) dwarfs
+# the ~5 ms of numpy per 256k-edge block, so one task per BLOCK wastes a
+# core-count of overhead every superstep on mid-sized graphs. Tasks are
+# sized by edge VOLUME — several blocks per task below this target, one
+# task per block (full parallelism) once blocks are volume-sized anyway.
+EDGES_PER_PULL_TASK = 1 << 20
+
+
+def _pull_task_count(block_path: str, num_blocks: int) -> int:
+    try:
+        m = read_manifest(block_path)
+        n_edges = sum(int(v) for v in m["parts"].values())
+    except OSError:
+        return num_blocks
+    return max(1, min(int(num_blocks), -(-n_edges // EDGES_PER_PULL_TASK)))
+
 # Shared hybrid crossover: row counts at or below this fit comfortably on the
 # driver, so the driver-numpy path (union-find, coarsened Louvain, InfoMap
 # sweeps) beats ~10 distributed fixpoint jobs. One constant — tuning it for
@@ -499,7 +516,8 @@ def pull_superstep(
         contrib = np.bincount(blk["slice_pos"], weights=buf, minlength=slice_len)
         return part, contrib.tobytes()
 
-    results = sc.parallelize(range(num_blocks), num_blocks).map(task).collect()
+    n_tasks = _pull_task_count(block_path, num_blocks)
+    results = sc.parallelize(range(num_blocks), n_tasks).map(task).collect()
     out = np.zeros(n)
     for part, buf in results:
         out[part::num_blocks] = np.frombuffer(buf, np.float64)
@@ -607,7 +625,8 @@ def pull_superstep_multi(
             )
         return part, out.tobytes()
 
-    results = sc.parallelize(range(num_blocks), num_blocks).map(task).collect()
+    n_tasks = _pull_task_count(block_path, num_blocks)
+    results = sc.parallelize(range(num_blocks), n_tasks).map(task).collect()
     out = np.zeros((n, k))
     for part, buf in results:
         out[part::num_blocks, :] = np.frombuffer(buf, np.float64).reshape(-1, k)

@@ -97,27 +97,48 @@ def sample_neighbors(
         F.least(F.lit(1.0), F.lit(float(oversample * fanout)) / F.col("_d"))
         * F.lit(float(HASH_M))
     )
-    # lazy checkpoint (r6): pref fans out to four consumers (kcnt,
-    # deficient, ok, fallback) that all land in the SAME downstream job,
-    # which computes it once and truncates lineage — the eager form paid
-    # one extra job of fixed overhead per hop
+    # lazy checkpoint (r6): pref fans out to the top-f stage AND the
+    # fallback, which land in the SAME downstream job — it computes once
+    # and truncates lineage (the eager form paid an extra job per hop)
     pref = withh.where(F.col("_h") < thresh).localCheckpoint(eager=False)
-    # deficiency check: nodes whose prefilter kept fewer than min(f, d)
-    # rows cannot be proven complete — re-rank their FULL adjacency (the
-    # Poisson left tail at mean oversample*f: rare, and each is one node)
-    kcnt = pref.groupBy("src").agg(F.count(F.lit(1)).alias("_k"))
+    # r6: the deficiency check rides the salted top-f itself — the merge
+    # stage already sees every survivor of a src, so the kept-count (and
+    # the degree, constant per src) come out of the SAME two aggregations
+    # instead of a separate groupBy + join funnel.
+    partial = pref.groupBy(
+        "src", F.pmod(F.xxhash64("dst"), F.lit(salt_buckets)).alias("_s")
+    ).agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("_h", "dst"))), 1, fanout
+        ).alias("part"),
+        F.count(F.lit(1)).alias("_kp"),
+        F.max("_d").alias("_d"),
+    )
+    merged = partial.groupBy("src").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("part"))), 1, fanout).alias(
+            "top"
+        ),
+        F.sum("_kp").alias("_k"),
+        F.max("_d").alias("_d"),
+    )
+    # nodes whose prefilter kept fewer than min(f, d) rows cannot be
+    # proven complete — re-rank their FULL adjacency (the Poisson left
+    # tail at mean oversample*f: rare, and each is one node). The
+    # deg ⟕ merged probe also catches srcs with ZERO survivors, which
+    # never reach `merged` at all.
+    complete = F.col("_k") >= F.least(F.lit(fanout).cast("long"), F.col("_d"))
+    ok = (
+        merged.where(complete)
+        .select("src", F.explode("top").alias("t"))
+        .select("src", F.col("t.dst").alias("dst"))
+    )
     deficient = (
-        deg.join(kcnt, "src", "left")
+        deg.join(merged.select("src", "_k"), "src", "left")
         .where(
             F.coalesce(F.col("_k"), F.lit(0))
             < F.least(F.lit(fanout).cast("long"), F.col("_d"))
         )
         .select("src")
-    )
-    ok = _topf_salted(
-        pref.join(deficient, "src", "left_anti").select("src", "dst", "_h"),
-        fanout,
-        salt_buckets,
     )
     fallback = _topf_salted(
         withh.join(deficient, "src").select("src", "dst", "_h"),
@@ -125,6 +146,47 @@ def sample_neighbors(
         salt_buckets,
     )
     return ok.unionByName(fallback)
+
+
+def _k_hop_sample_local(edges: DataFrame, seeds: DataFrame, fanouts) -> DataFrame:
+    """Driver-local k-hop sampling below DRIVER_EDGE_THRESHOLD (r6) — the
+    union-find / pull-engine hybrid crossover. All arithmetic is exact
+    int64 (the same affine rank hash), and per-src top-f is a lexsort by
+    (src, hash, dst) — identical rows to the distributed salted top-f and
+    to the SQL oracle's ROW_NUMBER. The gate uses a LIMIT-bounded count
+    probe so huge edge inputs never pay a full scan just to be told to
+    stay distributed."""
+    import numpy as np
+    import pandas as pd
+
+    ep = edges.select("src", "dst").toPandas()
+    src = ep["src"].to_numpy(np.int64)
+    dst = ep["dst"].to_numpy(np.int64)
+    frontier = np.unique(
+        seeds.select(F.col(seeds.columns[0]).cast("long")).toPandas().iloc[:, 0]
+        .to_numpy(np.int64)
+    )
+    hop_frames = []
+    for hop, fanout in enumerate(fanouts, start=1):
+        mask = np.isin(src, frontier)
+        cs, cd = src[mask], dst[mask]
+        h = (HASH_A * cd + HASH_B * cs) % HASH_M
+        order = np.lexsort((cd, h, cs))
+        cs, cd = cs[order], cd[order]
+        uniq, start = np.unique(cs, return_index=True)
+        if len(cs):
+            grp_start = np.repeat(start, np.diff(np.append(start, len(cs))))
+            keep = (np.arange(len(cs)) - grp_start) < fanout
+        else:
+            keep = np.zeros(0, dtype=bool)
+        hop_frames.append(
+            pd.DataFrame({"hop": np.int32(hop), "src": cs[keep], "dst": cd[keep]})
+        )
+        frontier = np.unique(cd[keep])
+    out = pd.concat(hop_frames, ignore_index=True)
+    return edges.sparkSession.createDataFrame(
+        out, schema="hop int, src long, dst long"
+    )
 
 
 def k_hop_sample(
@@ -141,6 +203,12 @@ def k_hop_sample(
     lineage — the frontier feeds both the output and the next hop."""
     if not fanouts:
         raise ValueError("fanouts must name at least one hop, e.g. (25, 10)")
+    from linkgraph.algorithms.blocks import DRIVER_EDGE_THRESHOLD
+
+    # bounded probe: reads at most threshold+1 rows, never a full scan
+    probe = edges.limit(DRIVER_EDGE_THRESHOLD + 1).count()
+    if probe <= DRIVER_EDGE_THRESHOLD:
+        return _k_hop_sample_local(edges, seeds, fanouts)
     frontier = seeds.select(
         F.col(seeds.columns[0]).cast("long").alias("src")
     ).distinct()

@@ -207,6 +207,30 @@ def train_ivf_centroids_distributed(
     cent = pool[chosen].copy()
 
     n_cells, dim = cent.shape
+    # r6 hybrid crossover: when the corpus fits the driver matrix budget
+    # (LIMIT-bounded probe — never a full scan just to decide), run the
+    # same Lloyd updates on one collected matrix: same assignment argmax,
+    # same mean/normalize, zero jobs per iteration. The partial-sum
+    # distributed loop below is unchanged and remains the at-scale path.
+    cap = max(1, (64 << 20) // max(dim * 8, 1))
+    if corpus.limit(cap + 1).count() <= cap:
+        x = np.array(
+            corpus.select(F.col(vec_col).alias("v")).toPandas()["v"].tolist(),
+            dtype=np.float64,
+        )
+        if len(x):
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            for _ in range(iters):
+                cells = (x @ cent.T).argmax(axis=1)
+                counts = np.zeros(n_cells, dtype=np.int64)
+                sums = np.zeros((n_cells, dim), dtype=np.float64)
+                np.add.at(counts, cells, 1)
+                np.add.at(sums, cells, x)
+                for j in range(n_cells):
+                    if counts[j]:
+                        v = sums[j] / counts[j]
+                        cent[j] = v / max(np.linalg.norm(v), 1e-12)
+        return cent
     for _ in range(iters):
         c = cent
 

@@ -89,7 +89,11 @@ def skipgram_pairs(
     pairs, so executor memory per row is bounded by the longest document,
     not the corpus.
     """
-    toks = F.split(F.col(text_col), " ")
+    # stage split() into its own projection: HOFs run interpreted without
+    # common-subexpression elimination, so referencing the raw split
+    # inside the nested transform re-tokenized the document once per
+    # POSITION (r6; same fix as dsir._grams_arr)
+    toks = F.col("_toks")
     pairs = F.flatten(
         F.transform(
             toks,
@@ -100,7 +104,8 @@ def skipgram_pairs(
         )
     )
     counts = (
-        docs.select(F.explode(pairs).alias("p"))
+        docs.select(F.split(F.col(text_col), " ").alias("_toks"))
+        .select(F.explode(pairs).alias("p"))
         .select("p.w_left", "p.w_right")
         .where((F.col("w_left") != "") & (F.col("w_right") != ""))
         .groupBy("w_left", "w_right")

@@ -31,11 +31,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def _window_grams(text_col: str, width: int):
-    """array<string> of all ``width``-token windows of ``text_col``, built
-    entirely inside codegen. Documents shorter than ``width`` tokens yield
-    an empty array (no partial windows — matches the SQL oracle)."""
-    toks = F.split(F.col(text_col), " ")
+def _window_grams_arr(toks, width: int):
+    """array<string> of all ``width``-token windows from a MATERIALIZED
+    token-array column. Documents shorter than ``width`` tokens yield an
+    empty array (no partial windows — matches the SQL oracle). Callers
+    stage ``split(text, ' ')`` in its own projection first: the transform
+    lambda runs interpreted with no CSE, so an inline split would be
+    re-evaluated once per window (r6; same fix as dsir._grams_arr)."""
     n_win = F.size(toks) - width + 1
     return F.when(n_win >= 1, F.transform(
         F.sequence(F.lit(1), n_win),
@@ -58,8 +60,8 @@ def duplicated_spans_topk(
     a TakeOrderedAndProject, not a single-partition sort.
     """
     wins = docs.select(
-        "doc_id", F.explode(_window_grams(text_col, width)).alias("span")
-    )
+        "doc_id", F.split(F.col(text_col), " ").alias("_toks")
+    ).select("doc_id", F.explode(_window_grams_arr(F.col("_toks"), width)).alias("span"))
     agg = (
         wins.groupBy("span")
         .agg(
@@ -93,10 +95,13 @@ def span_dup_fraction(
     window HASH (8-byte xxhash64 keys — the span text never shuffles), then
     a semi-join of each doc's window hashes against the duplicated-key set.
     """
-    wins = docs.select(
-        "doc_id",
-        F.explode(_window_grams(text_col, width)).alias("span"),
-    ).select("doc_id", F.xxhash64("span").alias("h"))
+    wins = (
+        docs.select("doc_id", F.split(F.col(text_col), " ").alias("_toks"))
+        .select(
+            "doc_id", F.explode(_window_grams_arr(F.col("_toks"), width)).alias("span")
+        )
+        .select("doc_id", F.xxhash64("span").alias("h"))
+    )
     dup_keys = (
         wins.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))

@@ -117,13 +117,17 @@ def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _word_ngrams(n: int, text_col: str = "text", mapper=None):
-    """Guarded row-local word n-gram array expression
-    (`sequence` → `transform` → `slice` → `concat_ws`), shared by every
-    gram-based operator below. `sequence(a, b)` is DESCENDING when b < a,
-    so short docs are guarded to an empty array first. ``mapper`` (e.g.
-    ``F.md5``) is applied to each gram inside the transform lambda."""
-    toks = F.split(F.col(text_col), " ")
+def _word_ngrams_arr(toks, n: int, mapper=None):
+    """Guarded row-local word n-gram array expression over a MATERIALIZED
+    token-array column (`sequence` → `transform` → `slice` → `concat_ws`).
+    `sequence(a, b)` is DESCENDING when b < a, so short docs are guarded
+    to an empty array first. ``mapper`` (e.g. ``F.md5``) is applied to
+    each gram inside the transform lambda.
+
+    Callers stage ``split(text, ' ')`` in its own projection and pass the
+    attribute: the transform lambda runs interpreted without CSE, so an
+    inline split is re-evaluated once per GRAM (r6; same fix as
+    dsir._grams_arr — measured ~2.5× on the gram-explode operators)."""
     gram = (
         (lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
         if mapper is None
@@ -144,10 +148,11 @@ def ngram_repetition(docs: DataFrame, n: int = 2, text_col: str = "text") -> Dat
     JVM codegen — the only shape that survives 100 TB (no explode, no
     group-by; gram lists never leave the row).
     """
-    grams = _word_ngrams(n, text_col)
+    staged = docs.select("doc_id", F.split(F.col(text_col), " ").alias("_toks"))
+    grams = _word_ngrams_arr(F.col("_toks"), n)
     total = F.size(grams).cast("long")
     uniq = F.size(F.array_distinct(grams)).cast("long")
-    return docs.select(
+    return staged.select(
         "doc_id",
         total.alias("n_grams"),
         uniq.alias("n_uniq_grams"),
@@ -178,12 +183,14 @@ def benchmark_contamination(
     """
     from pyspark.sql.functions import broadcast
 
-    gram_col = lambda: _word_ngrams(n, text_col)  # noqa: E731
-    doc_grams = docs.select(
-        "doc_id", F.explode(F.array_distinct(gram_col())).alias("gram")
+    gram_col = _word_ngrams_arr(F.col("_toks"), n)
+    toks = F.split(F.col(text_col), " ").alias("_toks")
+    doc_grams = docs.select("doc_id", toks).select(
+        "doc_id", F.explode(F.array_distinct(gram_col)).alias("gram")
     )
     bench_grams = (
-        bench_docs.select(F.explode(F.array_distinct(gram_col())).alias("gram"))
+        bench_docs.select(toks)
+        .select(F.explode(F.array_distinct(gram_col)).alias("gram"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
@@ -302,10 +309,12 @@ def quality_gate(
     away. `fail_reason` is '' for kept docs (never NULL, so the decision
     column hashes identically across engines).
     """
-    toks = F.split(F.col(text_col), " ")
-    n_tokens = F.size(toks).cast("long")
+    staged = docs.select(
+        "doc_id", lang_col, text_col, F.split(F.col(text_col), " ").alias("_toks")
+    )
+    n_tokens = F.size(F.col("_toks")).cast("long")
     # bigram dup ratio, same row-local construction as ngram_repetition(n=2)
-    grams = _word_ngrams(2, text_col)
+    grams = _word_ngrams_arr(F.col("_toks"), 2)
     total = F.size(grams).cast("double")
     dup_ratio = F.when(
         total > 0, 1.0 - F.size(F.array_distinct(grams)).cast("double") / total
@@ -321,7 +330,7 @@ def quality_gate(
     if forbid_pii:
         reason = reason.when(pii_total > 0, "has_pii")
     reason = reason.otherwise("")
-    return docs.select(
+    return staged.select(
         "doc_id",
         (reason == "").alias("keep"),
         reason.alias("fail_reason"),
@@ -506,12 +515,15 @@ def winnow_fingerprints(
     no fingerprints; docs with fewer than ``w`` grams emit the single
     global minimum (standard winnowing boundary case).
     """
-    gram_expr = _word_ngrams(k, text_col, mapper=F.md5)
-    # materialize the gram array as a real column: referencing the raw
-    # expression inside the window lambdas makes Catalyst re-evaluate the
-    # whole md5 array per window (O(grams²·md5) per row — measured 79 s
-    # vs 2 s at sf0.1)
-    with_grams = docs.select("doc_id", gram_expr.alias("_grams"))
+    gram_expr = _word_ngrams_arr(F.col("_toks"), k, mapper=F.md5)
+    # materialize the token array, then the gram array, as real columns:
+    # referencing a raw expression inside interpreted HOF lambdas makes
+    # Catalyst re-evaluate it per element (O(grams²·md5) per row for the
+    # window minima — measured 79 s vs 2 s at sf0.1; split-per-gram for
+    # the gram build, r6)
+    with_grams = docs.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("_toks")
+    ).select("doc_id", gram_expr.alias("_grams"))
     grams = F.col("_grams")
     g = F.size(grams)
     fps = (
