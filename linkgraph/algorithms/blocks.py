@@ -379,12 +379,10 @@ def pack_rank_blocks(ranks: DataFrame, value_col: str, num_blocks: int) -> DataF
     return r.groupBy("part").applyInPandas(_pack_rank_block, schema=RANK_BLOCK_SCHEMA)
 
 
-def scatter_gather(rank_blocks: DataFrame, block_path: str) -> DataFrame:
-    """One push superstep: (dst, contrib = Σ rank(u)·w_norm(u,v)).
-
-    Per-block bincount scatter against the page-cache-resident CSR
-    (map-side combine) → global ``groupBy(dst).agg(sum)`` gather shuffle.
-    """
+def scatter_partials(rank_blocks: DataFrame, block_path: str) -> DataFrame:
+    """The scatter half of a push superstep: per-block bincount against
+    the page-cache-resident CSR (map-side combine) → (dst, partial) rows,
+    at most one per (block, target)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -416,8 +414,131 @@ def scatter_gather(rank_blocks: DataFrame, block_path: str) -> DataFrame:
                 )
                 yield pd.DataFrame({"dst": np.asarray(blk["dst_uniq"]), "partial": partial})
 
-    partials = rank_blocks.mapInPandas(run, schema="dst long, partial double")
+    return rank_blocks.mapInPandas(run, schema="dst long, partial double")
+
+
+def scatter_partials_combined(rank_blocks: DataFrame, block_path: str) -> DataFrame:
+    """Scatter with task-level map-side combine (r6, fused-loop variant):
+    each task's per-block partial vectors are merged (concat → sort →
+    reduceat) BEFORE they cross the Arrow boundary, so the downstream
+    repartition carries ≈ distinct-targets-per-task rows instead of one
+    row per (block, target) — the JVM groupBy's partial aggregation did
+    this for the unfused loop; the fused loop has to do it in-kernel.
+    Pair with a volume-sized coalesce of the rank blocks so tasks hold
+    several blocks' worth of real numpy work."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ds, ps = [], []
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                blk = _load_part(block_path, int(row.part), _PUSH_ARRAYS)
+                if blk is None or len(blk["src_ids"]) == 0:
+                    continue
+                ids = np.frombuffer(row.ids, np.int64)
+                vals = np.frombuffer(row.vals, np.float64)
+                src_ids = np.asarray(blk["src_ids"])
+                pos = np.searchsorted(ids, src_ids)
+                ok = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == src_ids)
+                r_src = np.where(ok, vals[np.minimum(pos, len(ids) - 1)], 0.0)
+                key = ("pe", block_path, int(row.part))
+                buf = _MMAP_CACHE.get(key)
+                if buf is None or len(buf) != len(blk["w_norm"]):
+                    buf = np.empty(len(blk["w_norm"]))
+                    _MMAP_CACHE[key] = buf
+                np.multiply(
+                    np.repeat(r_src, np.diff(blk["indptr"])), blk["w_norm"], out=buf
+                )
+                ds.append(np.asarray(blk["dst_uniq"]))
+                ps.append(
+                    np.bincount(
+                        blk["dst_code"], weights=buf, minlength=len(blk["dst_uniq"])
+                    )
+                )
+        if ds:
+            d_ = np.concatenate(ds)
+            p_ = np.concatenate(ps)
+            o = np.argsort(d_, kind="stable")
+            d_, p_ = d_[o], p_[o]
+            u, idx = np.unique(d_, return_index=True)
+            yield pd.DataFrame({"dst": u, "partial": np.add.reduceat(p_, idx)})
+
+    return rank_blocks.mapInPandas(run, schema="dst long, partial double")
+
+
+def scatter_gather(rank_blocks: DataFrame, block_path: str) -> DataFrame:
+    """One push superstep: (dst, contrib = Σ rank(u)·w_norm(u,v)).
+
+    Scatter (above) → global ``groupBy(dst).agg(sum)`` gather shuffle.
+    """
+    partials = scatter_partials(rank_blocks, block_path)
     return partials.groupBy("dst").agg(F.sum("partial").alias("contrib"))
+
+
+def gather_pack(
+    partials: DataFrame, num_blocks: int, damping: float, source_nodes=None
+) -> DataFrame:
+    """Fused gather + rank update + block pack (r6): ONE exchange per
+    superstep instead of three. The partials stream (scatter output plus
+    one injected zero row per no-in-edge node) is repartitioned by
+    ``pmod(dst, num_blocks)`` and each task sums per target, applies
+    (1−d)·t + d·contrib (the teleport is row-local — unpersonalized 1.0
+    or an isin over the seed list), and emits the next superstep's packed
+    rank block directly — the old loop paid a gather groupBy, a nodes
+    left-join, and the pack groupBy as three separate exchanges. Per-task
+    state is the partition's distinct targets (≈ n/num_blocks ids), the
+    same bound as a CSC block."""
+    seeds = (
+        np.array(sorted(int(s) for s in source_nodes), dtype=np.int64)
+        if source_nodes is not None
+        else None
+    )
+    d = float(damping)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[int, list] = {}
+        for pdf in batches:
+            dst = pdf["dst"].to_numpy(np.int64)
+            val = pdf["partial"].to_numpy(np.float64)
+            parts = np.mod(dst, num_blocks)
+            for part in np.unique(parts):
+                m = parts == part
+                d_, p_ = dst[m], val[m]
+                o = np.argsort(d_, kind="stable")
+                d_, p_ = d_[o], p_[o]
+                u, idx = np.unique(d_, return_index=True)
+                acc.setdefault(int(part), []).append((u, np.add.reduceat(p_, idx)))
+        for part, chunks in acc.items():
+            d_ = np.concatenate([c[0] for c in chunks])
+            s_ = np.concatenate([c[1] for c in chunks])
+            o = np.argsort(d_, kind="stable")
+            d_, s_ = d_[o], s_[o]
+            u, idx = np.unique(d_, return_index=True)
+            contrib = np.add.reduceat(s_, idx)
+            t = 1.0 if seeds is None else np.isin(u, seeds).astype(np.float64)
+            vals = (1.0 - d) * t + d * contrib
+            yield pd.DataFrame(
+                {"part": [int(part)], "ids": [u.tobytes()], "vals": [vals.tobytes()]}
+            )
+
+    return partials.repartition(
+        num_blocks, F.pmod(F.col("dst"), F.lit(num_blocks))
+    ).mapInPandas(run, schema=RANK_BLOCK_SCHEMA)
+
+
+def unpack_rank_blocks(rank_blocks: DataFrame) -> DataFrame:
+    """(part, ids, vals) packed blocks → (id, rank) rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                yield pd.DataFrame(
+                    {
+                        "id": np.frombuffer(row.ids, np.int64),
+                        "rank": np.frombuffer(row.vals, np.float64),
+                    }
+                )
+
+    return rank_blocks.mapInPandas(run, schema="id long, rank double")
 
 
 # ---------------------------------------------------------------- pull (CSC)

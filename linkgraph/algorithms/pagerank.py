@@ -317,10 +317,83 @@ class PageRank:
                 self.metrics.resumed_from = start_step
         ranks = ranks.localCheckpoint(eager=True)
 
+        # r6: nodes with NO in-edges have the constant rank (1−d)·t every
+        # superstep, so the per-superstep nodes ⟕ contribs shuffle join is
+        # replaced by contribs-side arithmetic + a UNION with this static
+        # slice (computed once) — one exchange fewer per superstep, same
+        # values. The teleport is a row-local expression of id, so contrib
+        # rows never need a join to fetch t.
+        if self.source_nodes is None:
+            def t_of(c):
+                return F.lit(1.0)
+        else:
+            srcs = [int(s) for s in self.source_nodes]
+
+            def t_of(c):
+                return F.when(c.isin(srcs), 1.0).otherwise(0.0)
+        static_ranks = (
+            nodes.join(
+                edges.select(F.col("dst").alias("id")).distinct(), "id", "left_anti"
+            )
+            .select("id", ((1.0 - d) * F.col("t")).alias("rank"))
+            # lazy: the fused csr loop below never reads this; the
+            # tolerance/resume loop materializes it in its first superstep
+            .localCheckpoint(eager=False)
+        )
+
         converged = False
         step = start_step
         if block_path is not None:
             blocks.pin_store(block_path)  # see pull strategy: guards LRU eviction
+
+        # r6 fused csr loop (no tolerance/resume bookkeeping needed): one
+        # exchange per superstep — scatter partials + injected zero rows
+        # for no-in-edge nodes → repartition(pmod(dst, b)) → fused
+        # gather/update/pack emits the NEXT superstep's rank blocks
+        # directly. The tolerance / checkpoint-resume loop below keeps the
+        # unpacked (id, rank) table per superstep and is unchanged.
+        if (
+            strategy == "csr"
+            and self.tolerance is None
+            and self.checkpoint is None
+        ):
+            static_zero = (
+                nodes.join(
+                    edges.select(F.col("dst").alias("id")).distinct(),
+                    "id",
+                    "left_anti",
+                )
+                .select(F.col("id").alias("dst"), F.lit(0.0).alias("partial"))
+                .localCheckpoint(eager=True)
+            )
+            rank_blocks = blocks.pack_rank_blocks(ranks, "rank", b).localCheckpoint(
+                eager=True
+            )
+            n_tasks = blocks._pull_task_count(block_path, b)
+            while step < self.max_iterations:
+                it0 = time.time()
+                partials = blocks.scatter_partials_combined(
+                    rank_blocks.coalesce(n_tasks), block_path
+                ).unionByName(static_zero)
+                rank_blocks = blocks.gather_pack(
+                    partials, b, d, self.source_nodes
+                ).localCheckpoint(eager=True)
+                step += 1
+                self.metrics.superstep_millis.append(int((time.time() - it0) * 1000))
+            ranks = blocks.unpack_rank_blocks(rank_blocks)
+            self.metrics.iterations = step
+            self.metrics.did_converge = False
+            self.metrics.compute_millis = int((time.time() - t0) * 1000)
+            blocks.unpin_store(block_path)
+            if owns_blocks and block_path:
+                import shutil
+
+                shutil.rmtree(block_path, ignore_errors=True)
+            nodes.unpersist()
+            ranks.iterations = self.metrics.iterations
+            ranks.did_converge = self.metrics.did_converge
+            return ranks
+
         while step < self.max_iterations:
             it0 = time.time()
             if strategy == "csr":
@@ -331,14 +404,13 @@ class PageRank:
             # eager localCheckpoint = superstep barrier + lineage truncation
             # (the reference's BSP sync point; durable resume = CheckpointManager)
             new_ranks = (
-                nodes.join(contribs, nodes.id == contribs.dst, "left")
-                .select(
-                    "id",
-                    (
-                        (1.0 - d) * F.col("t")
-                        + d * F.coalesce(F.col("contrib"), F.lit(0.0))
-                    ).alias("rank"),
+                contribs.select(
+                    F.col("dst").alias("id"),
+                    ((1.0 - d) * t_of(F.col("dst")) + d * F.col("contrib")).alias(
+                        "rank"
+                    ),
                 )
+                .unionByName(static_ranks)
                 .localCheckpoint(eager=True)
             )
             step += 1

@@ -458,9 +458,26 @@ def near_duplicate_clusters(
     reps = keyed.where(F.col("_key").isNotNull()).groupBy("_key").agg(
         F.min("doc_id").alias("doc_id")
     )
-    rep_docs = reps.join(
-        docs.select("doc_id", text_col), "doc_id"
-    ).localCheckpoint(eager=True)
+    # r6: one map-side-combining groupBy replaces groupBy + join-back-to-
+    # docs — min_by(text, doc_id) IS the min-member's text (doc_ids are
+    # distinct), so rep_docs never re-reads the docs table
+    rep_docs = (
+        docs.select("doc_id", F.col(text_col).alias(text_col))
+        .withColumn(
+            "_key",
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
+                F.md5(F.concat_ws(" ", toks_sorted))
+            ),
+        )
+        .where(F.col("_key").isNotNull())
+        .groupBy("_key")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by(text_col, "doc_id").alias(text_col),
+        )
+        .drop("_key")
+        .localCheckpoint(eager=True)
+    )
 
     if strategy == "auto":
         u = rep_docs.count()
