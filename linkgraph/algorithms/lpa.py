@@ -21,6 +21,85 @@ from linkgraph.graph import Graph
 from linkgraph.io import CheckpointManager
 
 
+def _lpa_local(
+    edges: DataFrame,
+    labels: DataFrame,
+    weighted: bool,
+    max_iterations: int,
+    run_to_convergence: bool,
+):
+    """Driver-local synchronous LPA below DRIVER_EDGE_THRESHOLD (r6) —
+    the union-find / pull-engine hybrid crossover. Consumes the SAME
+    prepared edge view (direction/dedup already applied) and initial
+    labels as the distributed loop; per round the (dst, label) vote sums
+    are lexsort + reduceat and the winner is the (w desc, label asc)
+    group head — identical to the distributed arg-max. Vote sums here
+    are sums of small integer-valued weights (or counts), which float64
+    adds EXACTLY in any order, so winners match the distributed plan
+    bit-for-bit on the contract graphs; arbitrary real weights could
+    differ in ties at ~1e-16 (same caveat as any re-ordered float sum).
+    Returns None above the threshold (the distributed loop is the
+    at-scale path and the only path under checkpoint/resume)."""
+    import numpy as np
+    import pandas as pd
+
+    from linkgraph.algorithms.blocks import DRIVER_EDGE_THRESHOLD
+
+    e = edges.localCheckpoint(eager=True)
+    if e.count() > DRIVER_EDGE_THRESHOLD:
+        return None
+    lab_pd = labels.toPandas()
+    ids = lab_pd["id"].to_numpy(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    lab = lab_pd["label"].to_numpy(np.int64)[order]
+    ep = e.select("src", "dst", "weight").toPandas()
+    rs = ep["src"].to_numpy(np.int64)
+    rd = ep["dst"].to_numpy(np.int64)
+    es = np.searchsorted(ids, rs)
+    ed = np.searchsorted(ids, rd)
+    n = len(ids)
+    # drop edges with endpoints outside the node set — the distributed
+    # loop's joins do the same
+    ok = (
+        (es < n) & (ed < n)
+        & (ids[np.minimum(es, n - 1)] == rs)
+        & (ids[np.minimum(ed, n - 1)] == rd)
+    )
+    es, ed = es[ok], ed[ok]
+    w = (
+        ep["weight"].to_numpy(np.float64)[ok]
+        if weighted
+        else np.ones(int(ok.sum()), dtype=np.float64)
+    )
+    iterations, converged = 0, False
+    for step in range(max_iterations):
+        vl = lab[es]
+        o = np.lexsort((vl, ed))
+        d_, l_, w_ = ed[o], vl[o], w[o]
+        grp = np.flatnonzero(np.concatenate(([True], (np.diff(d_) != 0) | (np.diff(l_) != 0))))
+        vw = np.add.reduceat(w_, grp)
+        vd, vlab = d_[grp], l_[grp]
+        # winner per dst: (w desc, label asc) — lexsort keys last-first
+        o2 = np.lexsort((vlab, -vw, vd))
+        vd2, vlab2 = vd[o2], vlab[o2]
+        head = np.flatnonzero(np.concatenate(([True], np.diff(vd2) != 0)))
+        new_lab = lab.copy()
+        new_lab[vd2[head]] = vlab2[head]
+        iterations = step + 1
+        changed = int((new_lab != lab).sum()) if run_to_convergence else 1
+        lab = new_lab
+        if run_to_convergence and changed == 0:
+            converged = True
+            break
+    out = labels.sparkSession.createDataFrame(
+        pd.DataFrame({"id": ids, "label": lab}), schema="id long, label long"
+    )
+    out.iterations = iterations
+    out.did_converge = converged
+    return out
+
+
 def label_propagation(
     graph: Graph,
     max_iterations: int = 10,
@@ -49,6 +128,13 @@ def label_propagation(
         )
     else:
         labels = nodes.select("id", F.col("id").alias("label"))
+    if checkpoint is None:
+        out = _lpa_local(
+            edges, labels, weighted, max_iterations, run_to_convergence
+        )
+        if out is not None:
+            edges.unpersist()
+            return out
     start_step = 0
     if checkpoint is not None:
         latest = checkpoint.latest(fmt="lpa/labels-v1")

@@ -39,6 +39,7 @@ def _norm(v: str):
 
 
 _BRUTE_MAX_BROADCAST = 512 << 20  # corpus matrix budget for the Arrow kernel
+LLOYD_DRIVER_BUDGET = 64 << 20  # driver-matrix budget for the local Lloyd path
 
 
 def cosine_topk_bruteforce(
@@ -212,7 +213,7 @@ def train_ivf_centroids_distributed(
     # same Lloyd updates on one collected matrix: same assignment argmax,
     # same mean/normalize, zero jobs per iteration. The partial-sum
     # distributed loop below is unchanged and remains the at-scale path.
-    cap = max(1, (64 << 20) // max(dim * 8, 1))
+    cap = max(1, LLOYD_DRIVER_BUDGET // max(dim * 8, 1))
     if corpus.limit(cap + 1).count() <= cap:
         x = np.array(
             corpus.select(F.col(vec_col).alias("v")).toPandas()["v"].tolist(),
@@ -591,11 +592,59 @@ def pq_topk(
     code). It is the exact-ADC reference for recall tests; at corpus scale
     use :func:`pq_topk_ivf`, which prunes candidates to the query's nprobe
     nearest IVF cells before the same ADC re-rank."""
-    q = queries.select(F.col(id_col).alias("a"), F.col(vec_col).alias("qv"))
+    # r6: the old crossJoin duplicated every query VECTOR onto every
+    # corpus row (nq × |corpus| × dim doubles through Arrow). The query
+    # side is the bounded ≤~100-row front by contract, so its per-query
+    # ADC LUTs — the same (M, 2^bits) tables _adc_topk builds, vectorized
+    # over queries with identical elementwise math — broadcast once and
+    # the corpus codes stream through a single Arrow pass. Rounding and
+    # the top-k window stay in Spark; scores are bit-identical.
+    import pyarrow as pa
+
+    spark = queries.sparkSession
+    rows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    Q = np.array([list(map(float, r[vec_col])) for r in rows], dtype=np.float64)
+    books = codebooks.astype(np.float64)
+    n_sub, k_cent, sub = books.shape
+    luts = ((books[None, :, :, :] - Q.reshape(len(Q), n_sub, 1, sub)) ** 2).sum(axis=3)
+    bc = spark.sparkContext.broadcast((qids, luts))
+
+    def kernel(batches):
+        qids_, luts_ = bc.value
+        nq = len(qids_)
+        rows_idx = np.arange(n_sub)
+        for batch in batches:
+            bids = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+            cd = np.array(batch.column("codes").to_pylist(), dtype=np.int64)
+            if len(bids) == 0:
+                continue
+            out_a, out_b, out_s = [], [], []
+            for qi in range(nq):
+                s = luts_[qi][rows_idx[None, :], cd].sum(axis=1)
+                keep = bids != qids_[qi]
+                out_a.append(np.full(int(keep.sum()), qids_[qi], dtype=np.int64))
+                out_b.append(bids[keep])
+                out_s.append(s[keep])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_a), pa.int64()),
+                    pa.array(np.concatenate(out_b), pa.int64()),
+                    pa.array(np.concatenate(out_s), pa.float64()),
+                ],
+                names=["a", "b", "raw"],
+            )
+
     c = corpus_codes.select(F.col("id").alias("b"), "codes")
-    # self-pairs excluded BEFORE ranking so every query gets k real neighbors
-    pairs = q.crossJoin(c).filter(F.col("a") != F.col("b"))
-    return _adc_topk(pairs, codebooks, k)
+    scored = c.mapInArrow(kernel, schema="a long, b long, raw double").select(
+        "a", "b", F.round("raw", 6).alias("adc")
+    )
+    win = Window.partitionBy("a").orderBy(F.asc("adc"), F.asc("b"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .select("a", "b", "adc")
+    )
 
 
 def pq_topk_ivf(
