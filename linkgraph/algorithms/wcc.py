@@ -106,7 +106,7 @@ def wcc(
             .select("id", F.coalesce("component", F.col("id")).alias("component"))
         )
         nodes.unpersist()
-        out.iterations = 0
+        out.iterations = 1  # one exact union-find pass (stats rows expect ≥ 1)
         out.did_converge = True
         return out
 

@@ -81,10 +81,13 @@ def test_pq_ivf_plan_has_no_cartesian_product(spark):
     assert "cell" in pruned_plan  # the equi-join key survives to the plan
 
     baseline_plan = _plan(pq_topk(qs, coded, books, k=2))
-    assert (
-        "CartesianProduct" in baseline_plan
-        or "BroadcastNestedLoopJoin" in baseline_plan
-    )  # the exhaustive baseline really is a full scan
+    # r6: the exhaustive baseline still scans every corpus code, but as ONE
+    # Arrow pass with the per-query ADC LUTs broadcast (no more cross join
+    # duplicating each query vector onto every corpus row) — the full scan
+    # shows up as the mapInArrow kernel, with no join node at all
+    assert "MapInArrow" in baseline_plan or "mapInArrow" in baseline_plan
+    assert "CartesianProduct" not in baseline_plan
+    assert "Join" not in baseline_plan
 
 
 def test_pagerank_join_strategy_salted_gather(spark):
