@@ -102,6 +102,49 @@ def test_khop_distributed_matches_local(spark, small_graph, monkeypatch):
     assert local == dist
 
 
+def test_scc_distributed_matches_local(spark, small_graph, monkeypatch):
+    from linkgraph.algorithms.scc import scc
+
+    local = _rows(scc(small_graph), ["id", "component"])
+    monkeypatch.setattr(B, "DRIVER_EDGE_THRESHOLD", 0)
+    dist = _rows(scc(small_graph), ["id", "component"])
+    assert local == dist
+
+
+def test_scc_distributed_matches_local_structured(spark, monkeypatch):
+    # exercises trim (DAG tail + isolated node), several color classes,
+    # and a second outer round (cycle B takes the color of cycle C's root
+    # 46 via 45→10 but is not in its SCC, so it survives round 1)
+    from linkgraph.algorithms.scc import scc
+
+    edges = (
+        [(0, 1), (1, 2), (2, 0)]                      # cycle A
+        + [(10, 11), (11, 12), (12, 13), (13, 14), (14, 10)]  # cycle B
+        + [(20, 21), (21, 22), (22, 2)]               # DAG tail into A
+        + [(2, 10)]                                   # A reaches B, not back
+        + [(40, 41), (41, 40)]                        # 2-cycle
+        + [(45, 46), (46, 45), (45, 10)]              # cycle C colors B
+    )
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in edges], "src long, dst long, weight double"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in sorted({s for s, _ in edges} | {d for _, d in edges} | {30})],
+        "id long",
+    )
+    g = Graph.from_edges(e, nodes=nodes)
+    local = _rows(scc(g), ["id", "component"])
+    # spot-check the expected structure on the driver path
+    comp = dict(local)
+    assert comp[0] == comp[1] == comp[2] == 0
+    assert comp[10] == comp[14] == 10
+    assert comp[45] == comp[46] == 45
+    assert comp[20] == 20 and comp[30] == 30
+    monkeypatch.setattr(B, "DRIVER_EDGE_THRESHOLD", 0)
+    dist = _rows(scc(g), ["id", "component"])
+    assert local == dist
+
+
 def test_clusters_from_pairs_distributed_matches_local(spark, monkeypatch):
     from linkgraph.pipeline.dedup import _clusters_from_pairs
 
