@@ -37,7 +37,7 @@ import numpy as np
 
 from pyspark.sql import DataFrame, functions as F
 
-from linkgraph.pipeline.dsir import _bucket, _grams, _grams_arr
+from linkgraph.pipeline.dsir import _bucket, _grams_arr
 
 
 def doc_features(
@@ -50,11 +50,15 @@ def doc_features(
     cnt_db / Σ_b cnt_db. One explode + one map-side-combining groupBy;
     the normalizer needs no second pass — total grams per doc is
     size(unigrams) + size(bigrams) = 2·n_tokens − 1, a row-local
-    expression carried through the groupBy key."""
+    expression carried through the groupBy key. NULL text is coalesced to
+    '' so a NULL-text doc still emits its one ''-gram feature row — the
+    join-form and row-local scorers therefore agree on output cardinality
+    (r5 ADVICE: explode of a NULL gram array silently dropped the doc)."""
     toks = F.col("_toks")
     total = (F.lit(2) * F.size(toks) - F.lit(1)).cast("double")
     g = docs.select(
-        F.col(key_col).alias("key"), F.split(F.col(text_col), " ").alias("_toks")
+        F.col(key_col).alias("key"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_toks"),
     ).select(
         "key",
         total.alias("tot"),
@@ -316,7 +320,10 @@ def classifier_scores_rowlocal(
     groupBy, no join — whole-stage codegen end to end, which also makes
     it a stateless STREAMING transformation (streaming.stream_
     classifier_scores). Literal-map width is n_buckets entries: fine to ~10^4;
-    past that use classifier_scores' broadcast-join form."""
+    past that use classifier_scores' broadcast-join form. NULL text is
+    coalesced to '' — same as doc_features — so both scorer forms emit the
+    same rows with the same (non-NULL) score for NULL-text docs (r5
+    ADVICE: the forms used to differ in cardinality on NULL text)."""
     pairs: list = []
     for i, wv in enumerate(w):
         if wv != 0.0:
@@ -324,10 +331,10 @@ def classifier_scores_rowlocal(
     wmap = (
         F.create_map(*pairs) if pairs else F.create_map(F.lit(0), F.lit(0.0))
     )
-    toks = F.split(F.col(text_col), " ")
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     tot = (F.lit(2) * F.size(toks) - F.lit(1)).cast("double")
     msum = F.aggregate(
-        _grams(text_col),
+        _grams_arr(toks),
         F.lit(0.0),
         # try_element_at: ANSI mode throws on missing map keys; buckets
         # with zero weight are absent from the literal map by design

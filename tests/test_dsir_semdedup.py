@@ -290,6 +290,40 @@ def test_classifier_rowlocal_matches_join_form(spark):
         assert abs(a[did] - b[did]) < 2e-5, (did, a[did], b[did])
 
 
+def test_classifier_scorer_forms_agree_on_null_text(spark):
+    # r5 ADVICE: the join form used to DROP NULL-text docs (explode of a
+    # NULL gram array) while the row-local form emitted them with a NULL
+    # score. Both now coalesce text to '' and must emit the same rows
+    # with the same non-NULL score.
+    from linkgraph.pipeline.classify import (
+        classifier_scores,
+        classifier_scores_rowlocal,
+        train_quality_classifier,
+    )
+
+    docs = _docs(spark).unionByName(
+        spark.createDataFrame(
+            [(901, "other", None), (902, "other", "")],
+            "doc_id long, source string, text string",
+        )
+    )
+    w, bias = train_quality_classifier(_docs(spark), "tgt", n_buckets=B, iters=3)
+    a = {
+        r["doc_id"]: r["score"]
+        for r in classifier_scores(docs, w, bias, n_buckets=B).collect()
+    }
+    b = {
+        r["doc_id"]: r["score"]
+        for r in classifier_scores_rowlocal(docs, w, bias, n_buckets=B).collect()
+    }
+    assert set(a) == set(b) and {901, 902} <= set(a)
+    for did in a:
+        assert a[did] is not None and b[did] is not None
+        assert abs(a[did] - b[did]) < 2e-5, (did, a[did], b[did])
+    # NULL text ≡ empty text: same single ''-gram feature
+    assert a[901] == a[902]
+
+
 def test_classifier_rowlocal_zero_shuffle_plan(spark):
     from linkgraph.pipeline.classify import classifier_scores_rowlocal
 
