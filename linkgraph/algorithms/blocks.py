@@ -223,14 +223,45 @@ class pinned_store:
         return False
 
 
+_FINGERPRINT_STAT_CAP = 1024
+
+
+def _input_files_fingerprint(edges: DataFrame) -> int:
+    """Content signature of the plan's file inputs: a hash over the sorted
+    input-file paths plus (size, mtime_ns) for up to _FINGERPRINT_STAT_CAP
+    local files. Overwriting a parquet file beneath a semantically identical
+    plan changes this signature, so the store cache rebuilds instead of
+    serving stale CSR/CSC blocks (r5 verdict). Driver-side listing only —
+    the scan's FileIndex has already listed these paths, no Spark job. Past
+    the cap (or for non-local URIs) the path list alone still catches
+    adds/removes/renames; plans with no file inputs hash to a constant,
+    which is exactly the pre-r6 semantics."""
+    try:
+        files = sorted(edges.inputFiles())
+    except Exception:
+        return 0
+    sig: list = []
+    for i, f in enumerate(files):
+        if i < _FINGERPRINT_STAT_CAP and f.startswith("file:"):
+            try:
+                st = os.stat(f[len("file:"):])
+                sig.append((f, st.st_size, st.st_mtime_ns))
+                continue
+            except OSError:
+                pass
+        sig.append((f,))
+    return hash(tuple(sig))
+
+
 def semantic_store_key(edges: DataFrame, *extra) -> tuple | None:
-    """Cache key from the analyzed plan's semanticHash — None when the
-    hash is unavailable (then callers build an uncached tempdir store)."""
+    """Cache key from the analyzed plan's semanticHash + an input-files
+    content fingerprint — None when the hash is unavailable (then callers
+    build an uncached tempdir store)."""
     try:
         h = edges._jdf.queryExecution().analyzed().semanticHash()
     except Exception:
         return None
-    return (int(h), *extra)
+    return (int(h), _input_files_fingerprint(edges), *extra)
 
 
 def cached_store_dir(key: tuple | None, prefix: str) -> tuple[str, bool]:

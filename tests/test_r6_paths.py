@@ -102,6 +102,31 @@ def test_khop_distributed_matches_local(spark, small_graph, monkeypatch):
     assert local == dist
 
 
+def test_store_key_changes_when_parquet_mutates(spark, tmp_path):
+    # r5 verdict: the block-store cache keyed on the plan's semanticHash
+    # alone, so overwriting a parquet file beneath a semantically identical
+    # plan silently served stale CSR/CSC blocks. The key now folds in an
+    # input-files fingerprint (path, size, mtime), so mutation ⇒ new key ⇒
+    # rebuild, while an untouched table keeps a stable (cache-hitting) key.
+    import time
+
+    p = str(tmp_path / "edges.parquet")
+    df1 = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0)], "src long, dst long, weight double"
+    )
+    df1.coalesce(1).write.mode("overwrite").parquet(p)
+    k1 = B.semantic_store_key(spark.read.parquet(p), "t")
+    k1b = B.semantic_store_key(spark.read.parquet(p), "t")
+    assert k1 is not None and k1 == k1b
+    time.sleep(0.05)  # ensure a distinct mtime even on coarse filesystems
+    df2 = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0)], "src long, dst long, weight double"
+    )
+    df2.coalesce(1).write.mode("overwrite").parquet(p)
+    k2 = B.semantic_store_key(spark.read.parquet(p), "t")
+    assert k2 is not None and k2 != k1
+
+
 def test_scc_distributed_matches_local(spark, small_graph, monkeypatch):
     from linkgraph.algorithms.scc import scc
 
