@@ -2783,7 +2783,10 @@ def q_doc_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed forward-backward-coloring SCC (NOT the driver Tarjan)."""
+    """Forward-backward-coloring SCC (NOT the driver Tarjan): the
+    distributed Fleischer/ColorSCC loop, with the same coloring algorithm
+    vectorized driver-side below DRIVER_EDGE_THRESHOLD (r6 hybrid
+    crossover; force-distributed parity test in tests/test_r6_paths.py)."""
     from linkgraph.algorithms.scc import scc
 
     return scc(doc_graph(spark, sf_dir))
