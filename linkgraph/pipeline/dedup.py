@@ -537,14 +537,21 @@ def _minhash_params(num_hashes: int, seed: int = 42):
     return a, b
 
 
-def _token_hash_col(text_col: str, shingle: int = 1):
+def _token_hash_col(text_col: str, shingle: int = 1, toks=None):
     """array<long> of per-shingle xxhash64 values — computed JVM-side
     inside whole-stage codegen; Python never touches a token string.
 
     ``shingle`` = word n-gram width: 1 hashes distinct unigrams; n > 1
     hashes every distinct n-token window (the classic shingling that makes
-    MinHash sensitive to local word ORDER, not just vocabulary overlap)."""
-    toks = F.split(F.col(text_col), " ")
+    MinHash sensitive to local word ORDER, not just vocabulary overlap).
+
+    ``toks``: optionally a PRE-STAGED token-array attribute. The n > 1
+    branch references the token array inside an interpreted ``transform``
+    lambda (``slice`` per window), so an inline ``split`` is re-evaluated
+    once per window (r6 finding 1); callers on that branch should project
+    ``split(text, ' ')`` first and pass the attribute."""
+    if toks is None:
+        toks = F.split(F.col(text_col), " ")
     if shingle <= 1:
         return F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
     grams = F.transform(
@@ -588,8 +595,20 @@ def minhash_signatures(
             sigs.append(m.min(axis=1).astype(np.int64))
         return pd.Series(sigs)
 
-    return docs.select(
-        "doc_id", sig_udf(_token_hash_col(text_col, shingle)).alias("sig")
+    if shingle <= 1:
+        return docs.select(
+            "doc_id", sig_udf(_token_hash_col(text_col, shingle)).alias("sig")
+        )
+    # stage the token array ahead of the interpreted window-slice transform
+    # (r6 finding 1: an inline split re-tokenizes once per shingle window)
+    staged = docs.select(
+        "doc_id", F.col(text_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    return staged.select(
+        "doc_id",
+        sig_udf(
+            _token_hash_col(text_col, shingle, toks=F.col("_toks"))
+        ).alias("sig"),
     )
 
 
